@@ -1,0 +1,251 @@
+"""Wavefront progressive path tracer.
+
+TPU-native re-design of KIRK::CPU::PathTracer
+(/root/reference/src/libraries/KIRK/CPU/CPU_Raytracer/CPU_PathTracer.cpp):
+the reference is already wavefront-shaped — SoA ray/bounce/hit buffers swept
+bounce-synchronously by a thread pool (SURVEY §3.2). Here the wavefront is a
+pytree of [R] arrays, the bounce loop is lax.fori_loop, shading is
+branchless compute-all-select, and the whole sample is one fused XLA
+program. Parity notes:
+
+  * throughput starts at (1,1,1) and `radiance == 0` is THE termination
+    signal (clearBufferWeights, CPU_PathTracer.cpp:112; traceRays:137).
+  * lights are analytic emitters tested after scene geometry with a
+    nearest-light pick (traceRay:185-208).
+  * SimpleShader flow incl. its cutoffs (reflectance==0, pdf<=1e-4,
+    max(throughput)<0.01 — SimpleShader.h:61-62) and its quirks (ambient =
+    env_ambient * evaluateLight(n,n) / pi, no NEE pick-pdf compensation).
+  * MarschnerHairShader flow: mid-walk TT/TRT bounces only move the ray
+    (MarschnerHairShader.h:57-59); completed lobes scale throughput by
+    3*reflectance*|cos(theta_i)| with no pdf divide (:78-82).
+  * progressive accumulation is the running mean c += (new-c)/(n+1)
+    (drawTexture, CPU_PathTracer.cpp:68-79).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import camera as cam_mod, rng, vecmath as vm
+from ..scene.types import (
+    DeviceScene,
+    MATFLAG_CYLINDER_T_BOUNCE, MATFLAG_CYLINDER_TR_BOUNCE,
+    MATFLAG_EMISSIVE_BOUNCE, MATFLAG_SPECULAR_BOUNCE,
+    SHADER_MARSCHNER_HAIR, SHADER_SIMPLE,
+)
+from ..ops import bruteforce, intersect as isect
+from . import bsdf as bsdf_mod, fur, shading
+
+
+class RenderConfig(NamedTuple):
+    depth: int = 5  # Demo default max bounces (Demo/main.cpp:209)
+    spp: int = 100  # Demo default samples (Demo/main.cpp:210)
+    ray_chunk: int = 8192  # memory-capping analog of BufferSegmentation
+    hair_p_random: bool = False  # False = always R path (Bsdf.cpp:669 parity)
+    tonemap: bool = False
+    # Firefly ceiling: the reference's hair lobes are unbounded in the
+    # 1/cos^2(theta_d) tail (Bsdf.cpp:567,661) and can reach inf, which the
+    # running-mean accumulator would turn into NaN. Throughput is clamped to
+    # this value after each bounce (inf-parity is not reproducible anyway).
+    clamp_throughput: float = 1e4
+
+
+@struct.dataclass
+class RayState:
+    """The wavefront: Bounce{color, radiance, mat_flags} + Ray
+    (CPU_PathTracer.h:23-28, 125-142) as SoA arrays."""
+
+    origin: jnp.ndarray  # [R,3]
+    direction: jnp.ndarray  # [R,3]
+    radiance: jnp.ndarray  # [R,3] path throughput
+    color: jnp.ndarray  # [R,3] accumulated sample color
+    flags: jnp.ndarray  # [R] int32 mat_flags
+    theta_i: jnp.ndarray  # [R] hair shader stash (Bsdf.cpp:516)
+
+
+def init_state(origins, directions) -> RayState:
+    r = origins.shape[0]
+    return RayState(
+        origin=origins,
+        direction=directions,
+        radiance=jnp.ones((r, 3), jnp.float32),
+        color=jnp.zeros((r, 3), jnp.float32),
+        flags=jnp.zeros((r,), jnp.int32),
+        theta_i=jnp.zeros((r,), jnp.float32),
+    )
+
+
+def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderConfig) -> RayState:
+    """One wavefront bounce: trace + dispatch-shade (traceRays body)."""
+    active = jnp.any(state.radiance != 0.0, axis=-1)
+    has_dir = jnp.any(state.direction != 0.0, axis=-1)
+    do_trace = active & has_dir
+
+    hit = bruteforce.closest_hit(state.origin, state.direction, scene, chunk=cfg.ray_chunk)
+
+    # analytic light intersections (traceRay:185-208)
+    n_lights = scene.lights.count
+    if n_lights:
+        t_l, valid_l = isect.light_hit_grid(state.origin, state.direction, scene.lights)
+        light_idx = jnp.argmin(t_l, axis=-1).astype(jnp.int32)
+        t_light = jnp.take_along_axis(t_l, light_idx[:, None], axis=-1)[:, 0]
+        light_wins = t_light < hit.t
+    else:
+        light_idx = jnp.zeros(state.origin.shape[0], jnp.int32)
+        light_wins = jnp.zeros(state.origin.shape[0], bool)
+
+    miss = do_trace & ~hit.valid & ~light_wins
+    hit_light = do_trace & light_wins
+    hit_geom = do_trace & hit.valid & ~light_wins
+
+    color = state.color
+    radiance = state.radiance
+
+    # --- EnvironmentShader (EnvironmentShader.h:21-28)
+    env_c = shading.environment_color(scene.env, state.direction)
+    color = color + jnp.where(miss[:, None], env_c * radiance, 0.0)
+
+    # --- LightShader (LightShader.h:20-26)
+    if n_lights:
+        lrad = shading.light_emitted_radiance(scene.lights, light_idx, state.direction)
+        color = color + jnp.where(hit_light[:, None], lrad * radiance, 0.0)
+
+    radiance = jnp.where((miss | hit_light)[:, None], 0.0, radiance)
+
+    # --- material shaders on geometry hits ---------------------------------
+    mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv, scene.textures)
+    counter = -vm.normalize(state.direction)
+    n = hit.normal
+
+    u_bsdf = rng.bounce_uniform(keys, bounce, 2, tag=0)
+    u_pick = rng.bounce_uniform(keys, bounce, 1, tag=1)[:, 0]
+    u_light = rng.bounce_uniform(keys, bounce, 2, tag=2)
+    u_hairp = rng.bounce_uniform(keys, bounce, 1, tag=3)[:, 0]
+
+    # shared NEE (both shaders use the identical calcDirectLight)
+    direct = shading.calc_direct_light(scene, mp, hit, state.direction, u_pick,
+                                       u_light, shadow_chunk=cfg.ray_chunk)
+    # ambient = env_ambient * evaluateLight(n, n) / pi (SimpleShader.h:47)
+    ambient = scene.env.ambient * bsdf_mod.evaluate_light(mp, n, n, n) / jnp.pi
+    accum = (direct + ambient) * radiance
+
+    # surface BSDF sample
+    bs = bsdf_mod.sample_surface(mp, counter, n, u_bsdf, state.flags)
+    # hair BSDF sample (automaton)
+    p_choice = (jnp.minimum((u_hairp * 3).astype(jnp.int32), 2)
+                if cfg.hair_p_random else jnp.zeros_like(state.flags))
+    hs = fur.sample_hair(mp, counter, n, hit.fiber_u, hit.fiber_v, hit.fiber_w,
+                         state.flags, p_choice)
+
+    is_hair = mp.shader_id == SHADER_MARSCHNER_HAIR
+    refl = jnp.where(is_hair[:, None], hs.reflectance, bs.reflectance)
+    wo = jnp.where(is_hair[:, None], hs.wo, bs.wo)
+    pdf = jnp.where(is_hair, hs.pdf, bs.pdf)
+    new_flags = jnp.where(is_hair, hs.flags, bs.flags)
+
+    # common cutoff (SimpleShader.h:61-62 / MarschnerHairShader.h:78)
+    refl_zero = jnp.all(refl == 0.0, axis=-1)
+    weak = jnp.max(radiance, axis=-1) < 0.01
+    kill = refl_zero | (pdf <= 1e-4) | weak
+
+    emissive = (new_flags & MATFLAG_EMISSIVE_BOUNCE) != 0
+    mid_walk = ((new_flags & (MATFLAG_CYLINDER_T_BOUNCE | MATFLAG_CYLINDER_TR_BOUNCE)) != 0)
+
+    # ray offset (SimpleShader.h:86-95)
+    specular = (new_flags & MATFLAG_SPECULAR_BOUNCE) != 0
+    off_spec = 1e-4 * wo
+    off_diff = vm.faceforward(-1e-4 * n, n, wo)
+    offset = jnp.where(specular[:, None], off_spec, off_diff)
+    new_origin = hit.position + offset
+    new_direction = wo
+
+    # --- SimpleShader color/throughput update (SimpleShader.h:31-98)
+    simple_color = accum + jnp.where((emissive & ~kill)[:, None], mp.emission * radiance, 0.0)
+    simple_radiance = jnp.where(
+        (kill | emissive)[:, None], 0.0,
+        radiance * refl * (jnp.abs(vm.dot(wo, n)) / jnp.maximum(pdf, 1e-20))[:, None])
+
+    # --- MarschnerHairShader update (MarschnerHairShader.h:31-84)
+    hair_color = jnp.where(mid_walk[:, None], 0.0, accum)
+    hair_radiance = jnp.where(
+        mid_walk[:, None], radiance,
+        jnp.where(kill[:, None], 0.0,
+                  radiance * 3.0 * refl * jnp.abs(jnp.cos(hs.theta_i))[:, None]))
+
+    geom3 = hit_geom[:, None]
+    color = color + jnp.where(geom3, jnp.where(is_hair[:, None], hair_color, simple_color), 0.0)
+    radiance = jnp.where(geom3, jnp.where(is_hair[:, None], hair_radiance, simple_radiance), radiance)
+    radiance = jnp.minimum(radiance, cfg.clamp_throughput)
+
+    # continuing rays get the new ray; hair updates its ray even mid-walk
+    continuing = hit_geom & ~kill & ~emissive
+    hair_moves = hit_geom & is_hair
+    move = continuing | hair_moves
+    origin = jnp.where(move[:, None], new_origin, state.origin)
+    direction = jnp.where(move[:, None], new_direction, state.direction)
+    # flags update: simple shader only when continuing (SimpleShader.h:84);
+    # hair shader always (bsdf->sample writes them by reference)
+    flags = jnp.where(hit_geom & is_hair, new_flags,
+            jnp.where(continuing & ~is_hair, new_flags, state.flags))
+    theta_i = jnp.where(hit_geom & is_hair, hs.theta_i, state.theta_i)
+
+    return RayState(origin=origin, direction=direction, radiance=radiance,
+                    color=color, flags=flags, theta_i=theta_i)
+
+
+def render_sample(scene: DeviceScene, camera: cam_mod.Camera, key, sample_idx,
+                  cfg: RenderConfig) -> jnp.ndarray:
+    """One full progressive sample -> per-pixel color [R,3]
+    (PathTracer::processSegment, CPU_PathTracer.cpp:54-59)."""
+    px, py = cam_mod.pixel_grid(camera.resolution)
+    r = px.shape[0]
+    keys = rng.pixel_keys(key, r, sample_idx)
+    jitter = rng.bounce_uniform(keys, -1, 2, tag=7)
+    dof_u = rng.bounce_uniform(keys, -1, 2, tag=8) if camera.use_dof else None
+    o, d = cam_mod.rays_from_pixels(camera, px, py, jitter, dof_u)
+    state = init_state(o, d)
+
+    def body(b, st):
+        return trace_bounce(st, scene, keys, b, cfg)
+
+    state = jax.lax.fori_loop(0, cfg.depth, body, state)
+    return state.color
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_image(scene: DeviceScene, camera: cam_mod.Camera, key,
+                 cfg: RenderConfig) -> jnp.ndarray:
+    """Full render: running-mean accumulate `cfg.spp` samples -> [H,W,3]."""
+
+    w, h = camera.resolution
+    r = w * h
+
+    def body(i, acc):
+        c = render_sample(scene, camera, key, i, cfg)
+        return acc + (c - acc) / (i + 1.0)
+
+    acc = jax.lax.fori_loop(0, cfg.spp, body, jnp.zeros((r, 3), jnp.float32))
+    img = acc.reshape(h, w, 3)
+    if cfg.tonemap:
+        from ..ops import tonemap
+        img = tonemap.tonemap(img)
+    return img
+
+
+def render_progressive(scene, camera, key, cfg: RenderConfig, accum=None, start_sample=0):
+    """Host-side progressive loop yielding (sample_index, image) — the
+    interactive `render()`-per-frame analog (CPU_PathTracer.cpp:17-52) and
+    the checkpoint/resume surface (SURVEY §5)."""
+    w, h = camera.resolution
+    r = w * h
+    acc = jnp.zeros((r, 3), jnp.float32) if accum is None else accum.reshape(r, 3)
+    sample_jit = jax.jit(render_sample, static_argnames=("cfg",))
+    for i in range(start_sample, cfg.spp):
+        c = sample_jit(scene, camera, key, i, cfg)
+        acc = acc + (c - acc) / (i + 1.0)
+        yield i, acc.reshape(h, w, 3)

@@ -1,0 +1,201 @@
+"""Built-in validation scenes matching BASELINE.json configs.
+
+The reference ships JSON scenes (e.g. Fur_SmallSkinPatch) that are not in
+the tree; these factories produce the equivalent workloads procedurally:
+  * cornell_box        — config 1/2 (diffuse / +specular+glass Cornell)
+  * fur_patch          — config 4 (Marschner fibers on a ground patch,
+                         Mesh::addFurToFaces semantics, Mesh.cpp:82-148)
+  * hair_ball          — config 5 (~N fibers on a sphere)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.camera import make_camera
+from . import mesh as mesh_mod
+from .types import (
+    BSDF_EMISSION, BSDF_GLASS, BSDF_LAMBERT, BSDF_MARSCHNER_HAIR,
+    BSDF_SPECULAR_REFLECTION, DeviceScene, Environment,
+    empty_cone_pack, empty_triangle_pack,
+    make_cone_pack, make_light_pack, make_material_table, make_triangle_pack,
+)
+
+
+def _quad(a, b, c, d):
+    """Two CCW triangles for quad corners a-b-c-d."""
+    return [(a, b, c), (a, c, d)]
+
+
+def _box(lo, hi):
+    """12 triangles of an axis-aligned box, outward normals."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    p = {
+        "000": (x0, y0, z0), "001": (x0, y0, z1), "010": (x0, y1, z0),
+        "011": (x0, y1, z1), "100": (x1, y0, z0), "101": (x1, y0, z1),
+        "110": (x1, y1, z0), "111": (x1, y1, z1),
+    }
+    tris = []
+    tris += _quad(p["001"], p["101"], p["111"], p["011"])  # front +z
+    tris += _quad(p["100"], p["000"], p["010"], p["110"])  # back -z
+    tris += _quad(p["000"], p["001"], p["011"], p["010"])  # left -x
+    tris += _quad(p["101"], p["100"], p["110"], p["111"])  # right +x
+    tris += _quad(p["011"], p["111"], p["110"], p["010"])  # top +y
+    tris += _quad(p["000"], p["100"], p["101"], p["001"])  # bottom -y
+    return tris
+
+
+def cornell_box(resolution=(256, 256), variant="diffuse", light_kind="quad"):
+    """Cornell box. variant: 'diffuse' | 'glossy' (adds mirror + glass boxes).
+
+    Returns (DeviceScene, Camera).
+    """
+    white = dict(name="white", diffuse=(0.73, 0.73, 0.73), bsdf=BSDF_LAMBERT)
+    red = dict(name="red", diffuse=(0.65, 0.05, 0.05), bsdf=BSDF_LAMBERT)
+    green = dict(name="green", diffuse=(0.12, 0.45, 0.15), bsdf=BSDF_LAMBERT)
+    mirror = dict(name="mirror", specular=(0.95, 0.95, 0.95), bsdf=BSDF_SPECULAR_REFLECTION)
+    glass = dict(name="glass", volume=(1.0, 1.0, 1.0), specular=(1, 1, 1), ior=1.5, bsdf=BSDF_GLASS)
+    mats = [white, red, green, mirror, glass]
+
+    tris = []
+    mat_ids = []
+
+    def add(triangles, mid):
+        tris.extend(triangles)
+        mat_ids.extend([mid] * len(triangles))
+
+    s = 1.0
+    # room interior (normals face inward via winding; shading uses faceforward)
+    add(_quad((-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s)), 0)  # floor
+    add(_quad((-s, s, s), (s, s, s), (s, s, -s), (-s, s, -s)), 0)  # ceiling
+    add(_quad((-s, -s, -s), (-s, s, -s), (s, s, -s), (s, -s, -s)), 0)  # back
+    add(_quad((-s, -s, s), (-s, s, s), (-s, s, -s), (-s, -s, -s)), 1)  # left red
+    add(_quad((s, -s, -s), (s, s, -s), (s, s, s), (s, -s, s)), 2)  # right green
+
+    if variant == "diffuse":
+        add(_box((-0.55, -1.0, -0.6), (-0.05, -0.3, -0.1)), 0)
+        add(_box((0.1, -1.0, -0.2), (0.6, -0.55, 0.35)), 0)
+    else:
+        add(_box((-0.55, -1.0, -0.6), (-0.05, -0.3, -0.1)), 3)  # mirror box
+        add(_box((0.1, -1.0, -0.2), (0.6, -0.55, 0.35)), 4)  # glass box
+
+    v = np.asarray(tris, np.float32)
+    pack = make_triangle_pack(v[:, 0], v[:, 1], v[:, 2], mat_id=np.asarray(mat_ids))
+
+    lights = make_light_pack([
+        dict(kind=light_kind, color=(8.0, 8.0, 8.0), position=(0.0, 0.98, 0.0),
+             direction=(0.0, -1.0, 0.0), size=(0.5, 0.5), radius=0.15,
+             const_att=1.0),
+    ])
+
+    scene = DeviceScene(
+        tris=pack, cones=empty_cone_pack(),
+        materials=make_material_table(mats), lights=lights,
+        env=Environment(color=np.zeros(3, np.float32) + 0.0,
+                        ambient=np.zeros(3, np.float32)),
+    )
+    cam = make_camera(position=(0.0, 0.0, 3.4), look_at=(0.0, 0.0, -1.0),
+                      up=(0.0, 1.0, 0.0), resolution=resolution)
+    return scene, cam
+
+
+def fur_patch(resolution=(256, 256), fibers_per_face=5, fiber_verts=10,
+              fiber_radius=0.004, bsdf="MarschnerHairBSDF", seed=0,
+              patch_halfsize=0.5):
+    """Fur skin patch: 2-triangle ground plane + grown fibers as cone chains
+    (the Fur_SmallSkinPatch default workload, Demo/main.cpp:207,235)."""
+    s = patch_halfsize
+    ground = _quad((-s, 0.0, -s), (-s, 0.0, s), (s, 0.0, s), (s, 0.0, -s))
+    v = np.asarray(ground, np.float32)
+
+    skin = dict(name="skin", diffuse=(0.35, 0.25, 0.18), bsdf=BSDF_LAMBERT)
+    # fur material defaults from CPU_Scene.cpp:115-117 (brown, ior 1.55)
+    fur_mat = dict(name="Fiber_Mat", diffuse=(0.545, 0.353, 0.169), ior=1.55,
+                   bsdf=bsdf)
+    mats = [skin, fur_mat]
+
+    pack = make_triangle_pack(v[:, 0], v[:, 1], v[:, 2], mat_id=np.zeros(len(ground)))
+
+    faces = np.stack([v[:, 0], v[:, 1], v[:, 2]], axis=1)
+    fibers = mesh_mod.grow_fur_fibers(faces, fibers_per_face, fiber_verts,
+                                      fiber_radius, seed=seed)
+    base, apex, r0, r1 = mesh_mod.fibers_to_cone_chain(fibers)
+    cones = make_cone_pack(base, apex, r0, r1, np.ones(base.shape[0]))
+
+    lights = make_light_pack([
+        dict(kind="point", color=(10.0, 10.0, 10.0), position=(0.6, 1.2, 0.8),
+             radius=0.05, const_att=1.0),
+        dict(kind="sun", color=(1.5, 1.4, 1.2), direction=(-0.4, -1.0, -0.3),
+             radius=0.05),
+    ])
+
+    scene = DeviceScene(
+        tris=pack, cones=cones, materials=make_material_table(mats),
+        lights=lights,
+        env=Environment(color=np.asarray((0.05, 0.06, 0.08), np.float32),
+                        ambient=np.asarray((0.08, 0.08, 0.08), np.float32)),
+    )
+    cam = make_camera(position=(0.0, 0.45, 1.1), look_at=(0.0, -0.35, -1.0),
+                      up=(0.0, 1.0, 0.0), resolution=resolution)
+    return scene, cam
+
+
+def hair_ball(resolution=(512, 512), n_fibers=10000, fiber_verts=10,
+              fiber_radius=0.004, sphere_radius=0.5, bsdf="MarschnerHairBSDF",
+              seed=0):
+    """Hair ball: icosphere-ish core + radially grown fibers (config 5)."""
+    rs = np.random.RandomState(seed)
+    # core sphere triangles (UV sphere, coarse)
+    n_lat, n_lon = 16, 24
+    verts = []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            verts.append((sphere_radius * np.sin(th) * np.cos(ph),
+                          sphere_radius * np.cos(th),
+                          sphere_radius * np.sin(th) * np.sin(ph)))
+    verts = np.asarray(verts, np.float32)
+    tris = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            tris.append((verts[a], verts[b], verts[c]))
+            tris.append((verts[b], verts[d], verts[c]))
+    v = np.asarray(tris, np.float32)
+
+    skin = dict(name="scalp", diffuse=(0.3, 0.2, 0.15), bsdf=BSDF_LAMBERT)
+    fur_mat = dict(name="Fiber_Mat", diffuse=(0.545, 0.353, 0.169), ior=1.55, bsdf=bsdf)
+    pack = make_triangle_pack(v[:, 0], v[:, 1], v[:, 2], mat_id=np.zeros(len(tris)))
+
+    # radial fibers from random sphere points
+    u = rs.rand(n_fibers, 2)
+    phi = 2 * np.pi * u[:, 0]
+    cos_t = 2 * u[:, 1] - 1
+    sin_t = np.sqrt(np.maximum(0, 1 - cos_t ** 2))
+    dirs = np.stack([sin_t * np.cos(phi), cos_t, sin_t * np.sin(phi)], axis=-1)
+    base_pts = dirs * sphere_radius
+    fibers = mesh_mod.grow_fur_fibers_along(base_pts, dirs, fiber_verts,
+                                            fiber_radius, seed=seed)
+    base, apex, r0, r1 = mesh_mod.fibers_to_cone_chain(fibers)
+    cones = make_cone_pack(base, apex, r0, r1, np.ones(base.shape[0]))
+
+    lights = make_light_pack([
+        dict(kind="quad", color=(12.0, 12.0, 12.0), position=(1.5, 2.0, 1.5),
+             direction=(-0.5, -0.7, -0.5), size=(1.0, 1.0)),
+        dict(kind="sun", color=(1.0, 1.0, 0.95), direction=(0.3, -1.0, 0.2),
+             radius=0.05),
+    ])
+    scene = DeviceScene(
+        tris=pack, cones=cones,
+        materials=make_material_table([skin, fur_mat]), lights=lights,
+        env=Environment(color=np.asarray((0.1, 0.1, 0.12), np.float32),
+                        ambient=np.asarray((0.05, 0.05, 0.05), np.float32)),
+    )
+    cam = make_camera(position=(0.0, 0.3, 2.2), look_at=(0.0, -0.1, -1.0),
+                      up=(0.0, 1.0, 0.0), resolution=resolution)
+    return scene, cam

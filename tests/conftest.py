@@ -1,0 +1,12 @@
+"""Test config: force an 8-device virtual CPU mesh so sharding tests run
+anywhere (the driver validates real-TPU paths separately)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
