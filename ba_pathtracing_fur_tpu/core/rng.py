@@ -13,10 +13,20 @@ import jax
 import jax.numpy as jnp
 
 
+def keys_for_pixels(base_key: jax.Array, pixel_ids: jax.Array, sample_index) -> jax.Array:
+    """One key per *global* pixel id for a progressive sample index.
+
+    Keys depend only on (base_key, pixel_id, sample) — NOT on the position of
+    the pixel within the local shard — so a multi-device render sharded over
+    pixels is bit-identical to the single-device render.
+    """
+    k = jax.random.fold_in(base_key, sample_index)
+    return jax.vmap(lambda i: jax.random.fold_in(k, i))(pixel_ids)
+
+
 def pixel_keys(base_key: jax.Array, n_pixels: int, sample_index) -> jax.Array:
     """One key per pixel for a given progressive sample index. [n_pixels, 2]."""
-    k = jax.random.fold_in(base_key, sample_index)
-    return jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(n_pixels))
+    return keys_for_pixels(base_key, jnp.arange(n_pixels), sample_index)
 
 
 def bounce_uniform(keys: jax.Array, bounce, n: int, tag: int = 0) -> jnp.ndarray:

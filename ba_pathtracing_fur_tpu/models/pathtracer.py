@@ -80,13 +80,22 @@ def init_state(origins, directions) -> RayState:
     )
 
 
-def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderConfig) -> RayState:
-    """One wavefront bounce: trace + dispatch-shade (traceRays body)."""
+def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderConfig,
+                 closest_fn=None, occlude_fn=None) -> RayState:
+    """One wavefront bounce: trace + dispatch-shade (traceRays body).
+
+    `closest_fn(o, d, scene)` / `occlude_fn(o, d, scene, t_max)` override the
+    intersection backend (brute force by default) — the seam used by the LBVH
+    path and by geometry-sharded multi-device tracing (parallel/render.py).
+    """
     active = jnp.any(state.radiance != 0.0, axis=-1)
     has_dir = jnp.any(state.direction != 0.0, axis=-1)
     do_trace = active & has_dir
 
-    hit = bruteforce.closest_hit(state.origin, state.direction, scene, chunk=cfg.ray_chunk)
+    if closest_fn is None:
+        hit = bruteforce.closest_hit(state.origin, state.direction, scene, chunk=cfg.ray_chunk)
+    else:
+        hit = closest_fn(state.origin, state.direction, scene)
 
     # analytic light intersections (traceRay:185-208)
     n_lights = scene.lights.count
@@ -129,7 +138,8 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
 
     # shared NEE (both shaders use the identical calcDirectLight)
     direct = shading.calc_direct_light(scene, mp, hit, state.direction, u_pick,
-                                       u_light, shadow_chunk=cfg.ray_chunk)
+                                       u_light, shadow_chunk=cfg.ray_chunk,
+                                       occlude_fn=occlude_fn)
     # ambient = env_ambient * evaluateLight(n, n) / pi (SimpleShader.h:47)
     ambient = scene.env.ambient * bsdf_mod.evaluate_light(mp, n, n, n) / jnp.pi
     accum = (direct + ambient) * radiance
@@ -198,23 +208,36 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
                     color=color, flags=flags, theta_i=theta_i)
 
 
-def render_sample(scene: DeviceScene, camera: cam_mod.Camera, key, sample_idx,
-                  cfg: RenderConfig) -> jnp.ndarray:
-    """One full progressive sample -> per-pixel color [R,3]
-    (PathTracer::processSegment, CPU_PathTracer.cpp:54-59)."""
-    px, py = cam_mod.pixel_grid(camera.resolution)
-    r = px.shape[0]
-    keys = rng.pixel_keys(key, r, sample_idx)
+def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key,
+                      sample_idx, cfg: RenderConfig, closest_fn=None,
+                      occlude_fn=None) -> jnp.ndarray:
+    """One progressive sample for an arbitrary set of *global* pixel ids ->
+    color [len(ids),3]. This is the shardable unit: RNG keys depend on the
+    global id, so any partition of the image across devices renders
+    bit-identically to the single-device pass."""
+    w, _ = camera.resolution
+    px = (pixel_ids % w).astype(jnp.float32)
+    py = (pixel_ids // w).astype(jnp.float32)
+    keys = rng.keys_for_pixels(key, pixel_ids, sample_idx)
     jitter = rng.bounce_uniform(keys, -1, 2, tag=7)
     dof_u = rng.bounce_uniform(keys, -1, 2, tag=8) if camera.use_dof else None
     o, d = cam_mod.rays_from_pixels(camera, px, py, jitter, dof_u)
     state = init_state(o, d)
 
     def body(b, st):
-        return trace_bounce(st, scene, keys, b, cfg)
+        return trace_bounce(st, scene, keys, b, cfg, closest_fn, occlude_fn)
 
     state = jax.lax.fori_loop(0, cfg.depth, body, state)
     return state.color
+
+
+def render_sample(scene: DeviceScene, camera: cam_mod.Camera, key, sample_idx,
+                  cfg: RenderConfig) -> jnp.ndarray:
+    """One full progressive sample -> per-pixel color [R,3]
+    (PathTracer::processSegment, CPU_PathTracer.cpp:54-59)."""
+    w, h = camera.resolution
+    pixel_ids = jnp.arange(w * h)
+    return render_sample_ids(scene, camera, pixel_ids, key, sample_idx, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

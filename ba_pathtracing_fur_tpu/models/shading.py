@@ -154,6 +154,7 @@ def calc_direct_light(
     u_pick,  # [R] uniform for light selection
     u_light,  # [R,2] uniforms for the light-sample point
     shadow_chunk: int = 8192,
+    occlude_fn=None,  # (o, d, scene, t_max) -> blocked [R]; default brute force
 ):
     """SimpleShader::calcDirectLight, vectorized (SimpleShader.h:101-152).
 
@@ -182,7 +183,10 @@ def calc_direct_light(
     contrib = light_color * ls.attenuation[:, None] * f * jnp.abs(vm.dot(wi, hit.normal))[:, None]
 
     t_max = vm.length(lightpos - origin)
-    blocked = bruteforce.any_hit(origin, wi, scene, t_max, chunk=shadow_chunk)
+    if occlude_fn is None:
+        blocked = bruteforce.any_hit(origin, wi, scene, t_max, chunk=shadow_chunk)
+    else:
+        blocked = occlude_fn(origin, wi, scene, t_max)
     # light geometry also occludes (SimpleShader.h:135-144)
     t_l, valid_l = isect.light_hit_grid(origin, wi, lights)
     blocked |= jnp.any(valid_l & (t_l < t_max[:, None]), axis=-1)

@@ -1,0 +1,181 @@
+"""Multi-device sharded rendering: DP over pixels × geometry sharding.
+
+From-scratch distributed layer (the reference is single-node threads only,
+SURVEY §2.4). Strategy per SURVEY §7 step 7:
+
+  * pixels sharded over the "dp" mesh axis (each device renders its rays —
+    the multi-chip analog of `ThreadManager::for_loop_double` row sharding,
+    /root/reference/src/libraries/KIRK/Utils/Threading.h:104);
+  * scene primitive packs optionally sharded over the "geo" axis when the
+    triangle/cone arrays exceed per-chip HBM; each device intersects its
+    local shard and nearest hits are merged with an all_gather + argmin
+    (min-reduction with payload), shadow occlusion with a psum-OR;
+  * materials / lights / environment / textures are replicated.
+
+Everything is one `shard_map`-wrapped XLA program per sample, so the bounce
+loop never leaves the device and all cross-chip traffic is XLA collectives
+on ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..core import camera as cam_mod
+from ..models.pathtracer import RenderConfig, render_sample_ids
+from ..ops import bruteforce
+from ..scene.types import ConePack, DeviceScene, TrianglePack
+from .mesh import DP_AXIS, GEO_AXIS
+
+
+# ---------------------------------------------------------------------------
+# Geometry padding / sharding
+# ---------------------------------------------------------------------------
+
+def _pad_tris(tris: TrianglePack, to: int) -> TrianglePack:
+    """Pad with degenerate (all-zero) triangles: det==0 ⇒ never hit."""
+    pad = to - tris.count
+    if pad <= 0:
+        return tris
+    return jax.tree.map(lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), tris)
+
+
+def _pad_cones(cones: ConePack, to: int) -> ConePack:
+    """Pad with inert cones whose axis slab is empty (min_d > max_d)."""
+    pad = to - cones.count
+    if pad <= 0:
+        return cones
+    padded = jax.tree.map(lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), cones)
+    min_d = padded.min_d.at[cones.count:].set(1.0)
+    max_d = padded.max_d.at[cones.count:].set(-1.0)
+    return padded.replace(min_d=min_d, max_d=max_d)
+
+
+def pad_scene_geo(scene: DeviceScene, n_geo: int) -> DeviceScene:
+    """Pad primitive counts to multiples of n_geo so packs split evenly."""
+    def up(n):
+        return int(-(-max(n, 1) // n_geo) * n_geo)
+
+    return scene.replace(
+        tris=_pad_tris(scene.tris, up(scene.tris.count)),
+        cones=_pad_cones(scene.cones, up(scene.cones.count)),
+    )
+
+
+def scene_partition_specs(scene: DeviceScene, geo_axis: str = GEO_AXIS):
+    """PartitionSpec pytree matching `scene`: primitive packs sharded on
+    their leading dim over `geo_axis`, everything else replicated."""
+    geo = lambda tree: jax.tree.map(lambda _: P(geo_axis), tree)
+    repl = lambda tree: jax.tree.map(lambda _: P(), tree)
+    return DeviceScene(
+        tris=geo(scene.tris),
+        cones=geo(scene.cones),
+        materials=repl(scene.materials),
+        lights=repl(scene.lights),
+        env=repl(scene.env),
+        textures=None if scene.textures is None else P(),
+        tri_bvh=None if scene.tri_bvh is None else repl(scene.tri_bvh),
+        cone_bvh=None if scene.cone_bvh is None else repl(scene.cone_bvh),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geo-merged intersection (inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _merge_hits_over_geo(hit: bruteforce.Hit, axis: str) -> bruteforce.Hit:
+    """Min-reduction with payload over the geo axis: gather every shard's
+    nearest hit and keep the globally nearest per ray."""
+    g = jax.lax.all_gather(hit, axis)  # [G, R, ...]
+    win = jnp.argmin(g.t, axis=0)  # [R]
+    r = win.shape[0]
+    rows = jnp.arange(r)
+
+    def pick(x):
+        return x[win, rows] if x.ndim == 2 else x[win, rows, ...]
+
+    return jax.tree.map(pick, g)
+
+
+def geo_closest_fn(axis: str | None, chunk: int):
+    """closest_fn for trace_bounce: local brute force + geo merge."""
+
+    def fn(o, d, scene):
+        hit = bruteforce.closest_hit(o, d, scene, chunk=chunk)
+        if axis is None:
+            return hit
+        return _merge_hits_over_geo(hit, axis)
+
+    return fn
+
+
+def geo_occlude_fn(axis: str | None, chunk: int):
+    """occlude_fn for calc_direct_light: psum-OR of local occlusion."""
+
+    def fn(o, d, scene, t_max):
+        blocked = bruteforce.any_hit(o, d, scene, t_max, chunk=chunk)
+        if axis is None:
+            return blocked
+        return jax.lax.psum(blocked.astype(jnp.int32), axis) > 0
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Sharded render
+# ---------------------------------------------------------------------------
+
+def render_image_sharded(scene: DeviceScene, camera: cam_mod.Camera, key,
+                         cfg: RenderConfig, mesh) -> jnp.ndarray:
+    """Full progressive render sharded over `mesh` -> [H,W,3].
+
+    Bit-identical to models.pathtracer.render_image for any mesh shape:
+    RNG keys are global-pixel-id keyed and the geo hit merge reproduces the
+    single-device argmin exactly.
+    """
+    w, h = camera.resolution
+    r = w * h
+    n_dp = mesh.shape[DP_AXIS]
+    n_geo = mesh.shape.get(GEO_AXIS, 1)
+    if r % n_dp != 0:
+        raise ValueError(f"pixel count {r} not divisible by dp={n_dp}")
+    scene = pad_scene_geo(scene, n_geo)
+    geo = GEO_AXIS if n_geo > 1 else None
+
+    closest = geo_closest_fn(geo, cfg.ray_chunk)
+    occlude = geo_occlude_fn(geo, cfg.ray_chunk)
+
+    def shard_fn(pixel_ids, scene_shard):
+        def body(i, acc):
+            c = render_sample_ids(scene_shard, camera, pixel_ids, key, i, cfg,
+                                  closest_fn=closest, occlude_fn=occlude)
+            return acc + (c - acc) / (i + 1.0)
+
+        out = jax.lax.fori_loop(
+            0, cfg.spp, body, jnp.zeros((pixel_ids.shape[0], 3), jnp.float32))
+        return out
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(DP_AXIS), scene_partition_specs(scene)),
+        out_specs=P(DP_AXIS),
+        check_vma=False,
+    )
+    acc = mapped(jnp.arange(r), scene)
+    img = acc.reshape(h, w, 3)
+    if cfg.tonemap:
+        from ..ops import tonemap
+        img = tonemap.tonemap(img)
+    return img
+
+
+def render_image_sharded_jit(scene, camera, key, cfg: RenderConfig, mesh):
+    """jit-wrapped render_image_sharded (camera/cfg/mesh static)."""
+    fn = jax.jit(partial(render_image_sharded, camera=camera, cfg=cfg, mesh=mesh))
+    return fn(scene, key=key)

@@ -9,4 +9,8 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize sets jax_platforms="axon,cpu" via
+# jax.config (overriding the env var) — force plain CPU so the virtual
+# 8-device mesh is what tests see.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
