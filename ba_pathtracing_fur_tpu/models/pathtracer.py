@@ -38,7 +38,7 @@ from ..scene.types import (
     MATFLAG_EMISSIVE_BOUNCE, MATFLAG_SPECULAR_BOUNCE,
     SHADER_MARSCHNER_HAIR, SHADER_SIMPLE,
 )
-from ..ops import bruteforce, intersect as isect
+from ..ops import bruteforce, intersect as isect, traverse
 from . import bsdf as bsdf_mod, fur, shading
 
 
@@ -93,7 +93,7 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     do_trace = active & has_dir
 
     if closest_fn is None:
-        hit = bruteforce.closest_hit(state.origin, state.direction, scene, chunk=cfg.ray_chunk)
+        hit = traverse.closest_hit(state.origin, state.direction, scene, chunk=cfg.ray_chunk)
     else:
         hit = closest_fn(state.origin, state.direction, scene)
 

@@ -184,7 +184,8 @@ def calc_direct_light(
 
     t_max = vm.length(lightpos - origin)
     if occlude_fn is None:
-        blocked = bruteforce.any_hit(origin, wi, scene, t_max, chunk=shadow_chunk)
+        from ..ops import traverse
+        blocked = traverse.any_hit(origin, wi, scene, t_max, chunk=shadow_chunk)
     else:
         blocked = occlude_fn(origin, wi, scene, t_max)
     # light geometry also occludes (SimpleShader.h:135-144)

@@ -1,0 +1,508 @@
+"""LBVH: on-device linear BVH build + lock-step wavefront traversal.
+
+TPU-native replacement for the reference's pointer-based binned-SAH BVH
+(/root/reference/src/libraries/KIRK/CPU/CPU_Datastructures/CPU_BVH.cpp) and
+the GPU pair bvh_constructSAH/bvh_traverse.compute (SURVEY §2.3 #53-54),
+which the survey calls the better model than the CPU recursion. Design:
+
+  * BUILD (jit-able, runs on device — required for 1M-fiber scenes per
+    SURVEY §7 "hard parts" (d)): 30-bit morton codes over primitive
+    centroids → argsort → primitives clustered into fixed-size leaves in
+    morton order → an *implicit complete binary tree* over the leaf
+    clusters with heap indexing (children of i are 2i+1/2i+2), AABBs
+    reduced level-by-level with static-shape reshapes. No pointers, no
+    recursion, no host round-trip.
+
+  * TRAVERSAL: all rays advance in lock-step through a `lax.while_loop`;
+    each ray keeps a current node + a fixed-depth stack ([R, MAX_DEPTH]
+    int32). Inner nodes: slab-test both children with `t_near < best_t`
+    pruning (BoundingVolume::intersects semantics, BoundingBox.h:139-160),
+    descend the nearer child and push the farther (ordered near-to-far like
+    BVHNode::traverse, CPU_BVH.cpp:148-199). Leaf nodes: intersect the
+    cluster's primitives (contiguous rows of the morton-reordered pack —
+    one dense gather). Everything is masked vector compute over the whole
+    wavefront; there is no divergence stall beyond the longest ray's visit
+    count.
+
+Empty/padded leaves carry inverted boxes (bmin=+BIG, bmax=-BIG) that never
+pass the slab test; padded primitive rows are degenerate and never hit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import vecmath as vm
+from ..scene.types import ConePack, TrianglePack
+from . import intersect as isect
+
+INF = isect.INF
+BIG = jnp.float32(3.0e37)
+
+
+# ---------------------------------------------------------------------------
+# Morton codes
+# ---------------------------------------------------------------------------
+
+def _expand_bits_10(v):
+    """Spread the low 10 bits of v so they occupy every 3rd bit."""
+    v = v.astype(jnp.uint32)
+    v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return v
+
+
+def morton_codes(points, lo, hi):
+    """30-bit 3D morton codes for points normalized into [lo, hi]. [N]."""
+    extent = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((points - lo) / extent, 0.0, 1.0 - 1e-7)
+    xyz = (q * 1024.0).astype(jnp.uint32)
+    return (
+        (_expand_bits_10(xyz[:, 0]) << 2)
+        | (_expand_bits_10(xyz[:, 1]) << 1)
+        | _expand_bits_10(xyz[:, 2])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class BVH:
+    """Implicit complete binary tree over morton-ordered leaf clusters.
+
+    Heap layout: node 0 is the root, children of i are 2i+1 / 2i+2; the
+    n_leaves leaf nodes occupy heap indices [n_leaves-1, 2*n_leaves-1);
+    leaf j owns primitive rows [j*leaf_size, (j+1)*leaf_size) of the
+    reordered pack. `perm` maps reordered row -> original primitive id
+    (-1 on padding rows).
+
+    `packed` is the traversal-time geometry: one [n_leaves, W, leaf_size]
+    f32 tensor, component-major within each cluster, so a traversal round is
+    ONE contiguous row gather per ray and every subsequent op is a fully
+    lane-utilized [R, leaf_size] 2D tensor (a [R,K,3] layout would waste
+    125/128 VPU lanes on the 3-wide axis).
+    """
+
+    bmin: jnp.ndarray  # [2*n_leaves-1, 3]
+    bmax: jnp.ndarray  # [2*n_leaves-1, 3]
+    perm: jnp.ndarray  # [n_leaves * leaf_size] int32
+    packed: jnp.ndarray | None  # [n_leaves, W, leaf_size] f32
+    n_leaves: int = struct.field(pytree_node=False)  # power of two
+    leaf_size: int = struct.field(pytree_node=False)
+
+    @property
+    def depth(self) -> int:
+        return self.n_leaves.bit_length() - 1  # log2(n_leaves)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def build(prim_bmin, prim_bmax, leaf_size: int = 8) -> BVH:
+    """Build the LBVH from primitive AABBs ([N,3] each). jit-friendly:
+    all shapes derive from the static N and leaf_size."""
+    n = prim_bmin.shape[0]
+    n_leaves = _next_pow2(max(-(-n // leaf_size), 1))
+    n_slots = n_leaves * leaf_size
+
+    centroids = 0.5 * (prim_bmin + prim_bmax)
+    scene_lo = jnp.min(prim_bmin, axis=0)
+    scene_hi = jnp.max(prim_bmax, axis=0)
+    codes = morton_codes(centroids, scene_lo, scene_hi)
+    order = jnp.argsort(codes).astype(jnp.int32)
+
+    perm = jnp.full((n_slots,), -1, jnp.int32).at[:n].set(order)
+    pad_min = jnp.full((n_slots, 3), BIG)
+    pad_max = jnp.full((n_slots, 3), -BIG)
+    sbmin = pad_min.at[:n].set(prim_bmin[order])
+    sbmax = pad_max.at[:n].set(prim_bmax[order])
+
+    # leaf AABBs: reduce each cluster of leaf_size rows
+    lmin = sbmin.reshape(n_leaves, leaf_size, 3).min(axis=1)
+    lmax = sbmax.reshape(n_leaves, leaf_size, 3).max(axis=1)
+
+    # levels bottom-up; heap-order concatenation (root level last -> first)
+    levels_min = [lmin]
+    levels_max = [lmax]
+    while levels_min[0].shape[0] > 1:
+        cur_min, cur_max = levels_min[0], levels_max[0]
+        up_min = cur_min.reshape(-1, 2, 3).min(axis=1)
+        up_max = cur_max.reshape(-1, 2, 3).max(axis=1)
+        levels_min.insert(0, up_min)
+        levels_max.insert(0, up_max)
+
+    bmin = jnp.concatenate(levels_min, axis=0)
+    bmax = jnp.concatenate(levels_max, axis=0)
+    return BVH(bmin=bmin, bmax=bmax, perm=perm, packed=None,
+               n_leaves=n_leaves, leaf_size=leaf_size)
+
+
+def pack_tris(tris: TrianglePack, bvh: BVH) -> BVH:
+    """Pack the (already reordered) triangle pack for traversal:
+    [C, 9, K] = (v0, e1, e2) per component, component-major."""
+    k = bvh.leaf_size
+    v0 = tris.v0
+    e1 = tris.v1 - v0
+    e2 = tris.v2 - v0
+    comps = [v0[:, 0], v0[:, 1], v0[:, 2],
+             e1[:, 0], e1[:, 1], e1[:, 2],
+             e2[:, 0], e2[:, 1], e2[:, 2]]
+    packed = jnp.stack(comps, axis=1).reshape(bvh.n_leaves, k, len(comps))
+    return bvh.replace(packed=jnp.transpose(packed, (0, 2, 1)))
+
+
+def pack_cones(cones: ConePack, bvh: BVH) -> BVH:
+    """Pack the (already reordered) cone pack for traversal:
+    [C, 16, K] = (base, u, v, w per component, slope, r_base, min_d, max_d)."""
+    k = bvh.leaf_size
+    comps = [cones.base[:, 0], cones.base[:, 1], cones.base[:, 2],
+             cones.u[:, 0], cones.u[:, 1], cones.u[:, 2],
+             cones.v[:, 0], cones.v[:, 1], cones.v[:, 2],
+             cones.w[:, 0], cones.w[:, 1], cones.w[:, 2],
+             cones.slope, cones.r_base, cones.min_d, cones.max_d]
+    packed = jnp.stack(comps, axis=1).reshape(bvh.n_leaves, k, len(comps))
+    return bvh.replace(packed=jnp.transpose(packed, (0, 2, 1)))
+
+
+def build_median(prim_bmin, prim_bmax, leaf_size: int = 256) -> BVH:
+    """Host-side median-split build (numpy): recursively split prim ranges
+    at the centroid median of the longest axis — the same partition family
+    as KIRK's SAH split (CPU_BVH.cpp:357-461) with the median as the plane.
+
+    Produces far more compact clusters than morton clustering for curved
+    dense geometry (fur balls: sum-of-cluster-volume drops ~5-10x), which
+    directly cuts traversal rounds. Host-only (np.argpartition); prefer the
+    on-device morton `build` inside jit or for dynamic geometry.
+    """
+    bmin = np.asarray(prim_bmin, np.float32)
+    bmax = np.asarray(prim_bmax, np.float32)
+    n = bmin.shape[0]
+    cent = 0.5 * (bmin + bmax)
+    n_leaves = _next_pow2(max(-(-n // leaf_size), 1))
+    n_slots = n_leaves * leaf_size
+
+    order = np.arange(n)
+    # level-order splits: ranges tracked as boundary offsets
+    bounds = [0, n]
+    for _ in range(n_leaves.bit_length() - 1):
+        new_bounds = [0]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = order[s:e]
+            if e - s <= 1:
+                new_bounds.extend([s + (e - s + 1) // 2, e])
+                continue
+            c = cent[seg]
+            axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            mid = (e - s + 1) // 2  # mid < e-s whenever e-s >= 2
+            part = np.argpartition(c[:, axis], mid)
+            order[s:e] = seg[part]
+            new_bounds.extend([s + mid, e])
+        bounds = new_bounds
+
+    # distribute each final range into its leaf slot (ranges ≈ equal size)
+    perm = np.full((n_slots,), -1, np.int64)
+    for li, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        cnt = e - s
+        if cnt > leaf_size:
+            raise AssertionError("median split produced oversized leaf")
+        perm[li * leaf_size: li * leaf_size + cnt] = order[s:e]
+
+    keep = perm >= 0
+    safe = np.maximum(perm, 0)
+    sbmin = np.where(keep[:, None], bmin[safe], np.float32(BIG))
+    sbmax = np.where(keep[:, None], bmax[safe], np.float32(-BIG))
+
+    lmin = jnp.asarray(sbmin.reshape(n_leaves, leaf_size, 3).min(axis=1))
+    lmax = jnp.asarray(sbmax.reshape(n_leaves, leaf_size, 3).max(axis=1))
+    levels_min, levels_max = [lmin], [lmax]
+    while levels_min[0].shape[0] > 1:
+        levels_min.insert(0, levels_min[0].reshape(-1, 2, 3).min(axis=1))
+        levels_max.insert(0, levels_max[0].reshape(-1, 2, 3).max(axis=1))
+    return BVH(bmin=jnp.concatenate(levels_min, 0),
+               bmax=jnp.concatenate(levels_max, 0),
+               perm=jnp.asarray(perm.astype(np.int32)), packed=None,
+               n_leaves=n_leaves, leaf_size=leaf_size)
+
+
+def reorder_tris(tris: TrianglePack, bvh: BVH) -> TrianglePack:
+    """Morton-reorder + pad the pack so leaf rows are contiguous; padding
+    rows are all-zero degenerate triangles (det==0 ⇒ never hit)."""
+    safe = jnp.maximum(bvh.perm, 0)
+    keep = (bvh.perm >= 0)
+
+    def take(x):
+        g = x[safe]
+        mask = keep.reshape((-1,) + (1,) * (g.ndim - 1))
+        return jnp.where(mask, g, jnp.zeros_like(g))
+
+    return jax.tree.map(take, tris)
+
+
+def reorder_cones(cones: ConePack, bvh: BVH) -> ConePack:
+    """Same for cones; padding rows get an empty axis slab (min_d > max_d)."""
+    safe = jnp.maximum(bvh.perm, 0)
+    keep = (bvh.perm >= 0)
+
+    def take(x):
+        g = x[safe]
+        mask = keep.reshape((-1,) + (1,) * (g.ndim - 1))
+        return jnp.where(mask, g, jnp.zeros_like(g))
+
+    out = jax.tree.map(take, cones)
+    return out.replace(
+        min_d=jnp.where(keep, out.min_d, 1.0),
+        max_d=jnp.where(keep, out.max_d, -1.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Traversal
+# ---------------------------------------------------------------------------
+
+def _slab_grid(o, inv_d, bmin, bmax, t_max):
+    """Dense all-pairs slab test. o/inv_d [R,3], boxes [C,3] -> t_near [R,C]
+    with INF where missed. Pure VPU broadcast work — no gathers."""
+    t0 = (bmin[None] - o[:, None]) * inv_d[:, None]
+    t1 = (bmax[None] - o[:, None]) * inv_d[:, None]
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear < t_max[:, None])
+    return jnp.where(hit, tnear, INF)
+
+
+def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit, max_rounds):
+    """Culled-cluster traversal for one ray chunk. See `traverse`."""
+    r = o.shape[0]
+    n_c = bvh.n_leaves
+    k = bvh.leaf_size
+    leaf_base = n_c - 1
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
+
+    # Phase 1 (dense): entry distance to every cluster box, then sort the
+    # cluster ids by it. XLA's TPU sort makes this effectively free.
+    cb_min = bvh.bmin[leaf_base:]
+    cb_max = bvh.bmax[leaf_base:]
+    tn = _slab_grid(o, inv_d, cb_min, cb_max, t_max)  # [R, C]
+    ids = jnp.broadcast_to(jnp.arange(n_c, dtype=jnp.int32)[None], (r, n_c))
+    tn_sorted, id_sorted = jax.lax.sort_key_val(tn, ids, dimension=-1)
+
+    # Phase 2 (rounds): visit clusters per ray in entry order; each round is
+    # ONE bulk gather of the cluster's k primitive rows + a dense intersect.
+    # Exact: a round only runs while some ray's next cluster could still
+    # beat its current best hit, so no candidate is ever truncated.
+    t_best = t_max
+    row_best = jnp.full((r,), -1, jnp.int32)
+    if max_rounds is None:
+        max_rounds = n_c
+
+    def cond(carry):
+        rnd, t_best, row_best, alive = carry
+        in_range = rnd < jnp.int32(min(max_rounds, n_c))
+        tn_r = jax.lax.dynamic_slice_in_dim(tn_sorted, rnd, 1, axis=1)[:, 0]
+        return in_range & jnp.any(alive & (tn_r < t_best))
+
+    def body(carry):
+        rnd, t_best, row_best, alive = carry
+        tn_r = jax.lax.dynamic_slice_in_dim(tn_sorted, rnd, 1, axis=1)[:, 0]
+        cl = jax.lax.dynamic_slice_in_dim(id_sorted, rnd, 1, axis=1)[:, 0]
+        active = alive & (tn_r < t_best)
+        t_cand = leaf_fn(o, d, cl, t_min, t_best)  # [R, k]
+        t_cand = jnp.where(active[:, None], t_cand, INF)
+        j = jnp.argmin(t_cand, axis=-1)
+        t_new = jnp.take_along_axis(t_cand, j[:, None], axis=-1)[:, 0]
+        better = t_new < t_best
+        t_best = jnp.where(better, t_new, t_best)
+        row_best = jnp.where(better, cl * k + j.astype(jnp.int32), row_best)
+        if any_hit:
+            alive = alive & ~(row_best >= 0)
+        return rnd + 1, t_best, row_best, alive
+
+    init = (jnp.int32(0), t_best, row_best, jnp.ones((r,), bool))
+    _, t_best, row_best, _ = jax.lax.while_loop(cond, body, init)
+    return t_best, row_best, row_best >= 0
+
+
+def traverse(bvh: BVH, o, d, leaf_fn: Callable, t_min, t_max,
+             any_hit: bool = False, max_rounds: int | None = None,
+             chunk: int = 16384):
+    """Nearest-hit traversal for a ray wavefront — TPU-shaped.
+
+    Instead of a per-ray node automaton (gather-per-step is latency-bound on
+    TPU: every gather op costs ~0.1-0.8 ms regardless of size), rays test ALL
+    cluster AABBs densely, sort clusters by entry distance (XLA sort ≈ free),
+    then sweep clusters near-to-far in lock-step rounds; each round performs
+    one bulk contiguous gather of `leaf_size` primitives per ray plus a dense
+    intersection. The sweep stops per-ray as soon as the next cluster's entry
+    distance exceeds the current best hit — the same near-to-far pruning as
+    BVHNode::traverse (CPU_BVH.cpp:148-199), amortized over the wavefront.
+
+    leaf_fn(o, d, cl [R] int32 cluster ids, t_min, t_best) -> t [R, leaf_size]
+        candidate hit distances (INF where miss) for the clusters' rows of
+        the packed geometry (see tri_leaf_packed / cone_leaf_packed).
+
+    Returns (t_best [R], row_best [R] int32 row in the reordered pack,
+    hit_found [R] bool). With any_hit=True rays stop at the first accepted
+    hit (shadow semantics; t/row are then *a* hit, not the nearest).
+    """
+    r = o.shape[0]
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
+    if r <= chunk:
+        return _traverse_chunk(bvh, o, d, leaf_fn, t_min, t_max_arr, any_hit, max_rounds)
+    pad = (-r) % chunk
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    t_p = jnp.pad(t_max_arr, (0, pad))
+    out = jax.lax.map(
+        lambda args: _traverse_chunk(bvh, args[0], args[1], leaf_fn, t_min,
+                                     args[2], any_hit, max_rounds),
+        (o_p.reshape(-1, chunk, 3), d_p.reshape(-1, chunk, 3), t_p.reshape(-1, chunk)),
+    )
+    return tuple(x.reshape(-1)[:r] for x in out)
+
+
+# ---------------------------------------------------------------------------
+# Leaf intersection functions
+#
+# Two families:
+#   * *_leaf_packed — traversal-time: ONE [R, W*K] cluster-row gather from
+#     bvh.packed, then fully lane-utilized [R, K] component math.
+#   * *_leaf_rows   — row-indexed against the reordered pack; used OUTSIDE
+#     the traversal loop (differentiable winner-t recompute, tests).
+# ---------------------------------------------------------------------------
+
+def _tri_core(o, d, comp, t_min, t_best):
+    """Component-wise Möller–Trumbore. o/d [R,3]; comp: 9 × [R,K] arrays
+    (v0, e1, e2 per component). Same math as intersect.triangle_hit_grid."""
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = comp
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+
+    # p = d × e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    near_zero = jnp.abs(det) < isect.TRI_EPS
+    inv_det = 1.0 / jnp.where(near_zero, 1.0, det)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # q = tvec × e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = ((~near_zero) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > t_min) & (t < t_best[:, None]))
+    return jnp.where(ok, t, INF)
+
+
+def _cone_core(o, d, comp, t_min, t_best):
+    """Component-wise KIRK cone quadratic (intersect.cone_hit_grid math).
+    comp: 16 × [R,K] arrays (base, u, v, w per component, slope, r_base,
+    min_d, max_d)."""
+    (bx, by, bz, ux, uy, uz, vx, vy, vz, wx, wy, wz,
+     slope, r_base, min_d, max_d) = comp
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    ddx, ddy, ddz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+
+    rx, ry, rz = ox - bx, oy - by, oz - bz
+    px = rx * ux + ry * uy + rz * uz
+    py = rx * vx + ry * vy + rz * vz
+    pz = rx * wx + ry * wy + rz * wz
+    dx = ddx * ux + ddy * uy + ddz * uz
+    dy = ddx * vx + ddy * vy + ddz * vz
+    dz = ddx * wx + ddy * wy + ddz * wz
+
+    a = dx * dx + dz * dz - slope * slope * dy * dy
+    b = px * dx + pz * dz + r_base * slope * dy - slope * slope * py * dy
+    c_lin = r_base - slope * py
+    c = px * px + pz * pz - c_lin * c_lin
+
+    disc = b * b - a * c
+    has_roots = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    t1 = (-b - sq) / a_safe
+    t2 = (-b + sq) / a_safe
+    t1, t2 = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    # axis slab: d_axis(t) = (o + t d)·v = (py + base·v) + t dy; since
+    # py = (o-base)·v, d_axis = py + t*dy + base·v — but min_d/max_d are in
+    # the same absolute frame, so reconstruct via o·v = py + base·v.
+    ov = oy * vy + ox * vx + oz * vz
+
+    def axis_ok(t):
+        dax = ov + t * dy
+        return (dax >= min_d) & (dax <= max_d)
+
+    tb = t_best[:, None]
+    t1_ok = (t1 >= 1e-4) & (t1 > t_min) & (t1 < tb) & axis_ok(t1)
+    t2_ok = (t2 >= 1e-4) & (t2 > t_min) & (t2 < tb) & axis_ok(t2)
+    take1 = has_roots & t1_ok
+    take2 = has_roots & (~t1_ok) & t2_ok
+    return jnp.where(take1, t1, jnp.where(take2, t2, INF))
+
+
+def tri_leaf_packed(bvh: BVH):
+    """Traversal leaf fn over bvh.packed [C, 9, K]."""
+
+    def fn(o, d, cl, t_min, t_best):
+        blk = bvh.packed[cl]  # [R, 9, K] — one contiguous row gather
+        comp = [blk[:, i] for i in range(9)]
+        return _tri_core(o, d, comp, t_min, t_best)
+
+    return fn
+
+
+def cone_leaf_packed(bvh: BVH):
+    """Traversal leaf fn over bvh.packed [C, 16, K]."""
+
+    def fn(o, d, cl, t_min, t_best):
+        blk = bvh.packed[cl]  # [R, 16, K]
+        comp = [blk[:, i] for i in range(16)]
+        return _cone_core(o, d, comp, t_min, t_best)
+
+    return fn
+
+
+def tri_leaf_rows(tris: TrianglePack):
+    """Row-indexed variant (outside the loop: winner recompute, tests)."""
+
+    def fn(o, d, rows, t_min, t_best):
+        v0 = tris.v0[rows]
+        e1 = tris.v1[rows] - v0
+        e2 = tris.v2[rows] - v0
+        comp = [v0[..., 0], v0[..., 1], v0[..., 2],
+                e1[..., 0], e1[..., 1], e1[..., 2],
+                e2[..., 0], e2[..., 1], e2[..., 2]]
+        return _tri_core(o, d, comp, t_min, t_best)
+
+    return fn
+
+
+def cone_leaf_rows(cones: ConePack):
+    """Row-indexed variant (outside the loop: winner recompute, tests)."""
+
+    def fn(o, d, rows, t_min, t_best):
+        comp = [cones.base[rows, 0], cones.base[rows, 1], cones.base[rows, 2],
+                cones.u[rows, 0], cones.u[rows, 1], cones.u[rows, 2],
+                cones.v[rows, 0], cones.v[rows, 1], cones.v[rows, 2],
+                cones.w[rows, 0], cones.w[rows, 1], cones.w[rows, 2],
+                cones.slope[rows], cones.r_base[rows], cones.min_d[rows],
+                cones.max_d[rows]]
+        return _cone_core(o, d, comp, t_min, t_best)
+
+    return fn

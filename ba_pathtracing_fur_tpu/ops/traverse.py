@@ -1,0 +1,207 @@
+"""Accelerated scene intersection: LBVH dispatch + full Hit construction.
+
+The runtime seam equivalent of KIRK's pluggable `CPU_DataStructure`
+(CPU_DataStructure.h:14-30): a scene carries optional tri/cone BVHs
+(attached by `attach_bvh`); `closest_hit`/`any_hit` here route to the LBVH
+traversal when present and to the brute-force oracle otherwise — the
+runtime-switchable accel-structure design of the reference
+(Demo/main.cpp:94-127), expressed as pytree structure instead of virtuals.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..scene.types import DeviceScene
+from . import bruteforce, bvh as bvh_mod, intersect as isect
+
+INF = isect.INF
+
+
+def attach_bvh(scene: DeviceScene, leaf_size: int = 256,
+               method: str = "median", min_prims: int = 2048) -> DeviceScene:
+    """Build LBVHs over the primitive packs and reorder the packs so leaf
+    clusters are contiguous.
+
+    method="median" (host-side numpy, compact clusters — best quality) or
+    "morton" (on-device, jit-friendly, for dynamic geometry). Packs smaller
+    than `min_prims` are left alone — the dense all-pairs grid beats cluster
+    traversal below that size, and closest_hit mixes the two per pack.
+    """
+    build = bvh_mod.build_median if method == "median" else bvh_mod.build
+    tris, cones = scene.tris, scene.cones
+    tri_bvh = cone_bvh = None
+    if tris.count >= min_prims:
+        bmin, bmax = isect.triangle_aabbs(tris)
+        tri_bvh = build(bmin, bmax, leaf_size)
+        tris = bvh_mod.reorder_tris(tris, tri_bvh)
+        tri_bvh = bvh_mod.pack_tris(tris, tri_bvh)
+    if cones.count >= min_prims:
+        bmin, bmax = isect.cone_aabbs(cones)
+        cone_bvh = build(bmin, bmax, leaf_size)
+        cones = bvh_mod.reorder_cones(cones, cone_bvh)
+        cone_bvh = bvh_mod.pack_cones(cones, cone_bvh)
+    return scene.replace(tris=tris, cones=cones, tri_bvh=tri_bvh,
+                         cone_bvh=cone_bvh)
+
+
+def _cone_enter_at(cones, cone_id, o, d, t):
+    """Was the winning cone hit the entering (nearer) root? Recompute the
+    quadratic for the single winner (Cylinder.cpp:126,140 semantics)."""
+    base = cones.base[cone_id]
+    u_ax, v_ax, w_ax = cones.u[cone_id], cones.v[cone_id], cones.w[cone_id]
+    slope, r_base = cones.slope[cone_id], cones.r_base[cone_id]
+    rel = o - base
+    px, py, pz = vm.dot(rel, u_ax), vm.dot(rel, v_ax), vm.dot(rel, w_ax)
+    dx, dy, dz = vm.dot(d, u_ax), vm.dot(d, v_ax), vm.dot(d, w_ax)
+    a = dx * dx + dz * dz - slope * slope * dy * dy
+    b = px * dx + pz * dz + r_base * slope * dy - slope * slope * py * dy
+    disc = b * b - a * (px * px + pz * pz - (r_base - slope * py) ** 2)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    ra = (-b - sq) / a_safe
+    rb = (-b + sq) / a_safe
+    t1 = jnp.minimum(ra, rb)
+    t2 = jnp.maximum(ra, rb)
+    # classify by whichever root t is closer to (scale-free: thin-cone
+    # quadratics are noisy in f32, an absolute tolerance misclassifies)
+    return jnp.abs(t - t1) <= jnp.abs(t - t2)
+
+
+def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF) -> bruteforce.Hit:
+    """Nearest hit via LBVH traversal; Hit layout identical to the oracle.
+
+    The traversal while_loop is not reverse-differentiable, so it runs on
+    stop_gradient'ed inputs and only *selects* the winning primitive row;
+    the winner's t is then recomputed differentiably outside the loop (same
+    math, same data ⇒ bit-identical value, but with a VJP)."""
+    r = o.shape[0]
+    tris, cones = scene.tris, scene.cones
+    sg = jax.lax.stop_gradient
+
+    t_tri = jnp.full((r,), INF)
+    tri_row = jnp.zeros((r,), jnp.int32)
+    if scene.tri_bvh is not None:
+        sbvh = sg(scene.tri_bvh)
+        _, tri_row, found = bvh_mod.traverse(
+            sbvh, sg(o), sg(d), bvh_mod.tri_leaf_packed(sbvh), t_min, t_max)
+        tri_row = jnp.maximum(tri_row, 0)
+        t_re = bvh_mod.tri_leaf_rows(tris)(o, d, tri_row[:, None], t_min,
+                                           jnp.full((r,), t_max))[:, 0]
+        t_tri = jnp.where(found, t_re, INF)
+    elif tris.count:  # small pack: dense all-pairs grid
+        tg, _, _, _ = isect.triangle_hit_grid(o, d, tris, t_min, t_max)
+        tri_row = jnp.argmin(tg, axis=-1).astype(jnp.int32)
+        t_tri = jnp.take_along_axis(tg, tri_row[:, None], axis=-1)[:, 0]
+
+    t_cone = jnp.full((r,), INF)
+    cone_row = jnp.zeros((r,), jnp.int32)
+    if scene.cone_bvh is not None:
+        sbvh = sg(scene.cone_bvh)
+        _, cone_row, found_c = bvh_mod.traverse(
+            sbvh, sg(o), sg(d), bvh_mod.cone_leaf_packed(sbvh), t_min, t_max)
+        cone_row = jnp.maximum(cone_row, 0)
+        t_re = bvh_mod.cone_leaf_rows(cones)(o, d, cone_row[:, None], t_min,
+                                             jnp.full((r,), t_max))[:, 0]
+        t_cone = jnp.where(found_c, t_re, INF)
+    elif cones.count:
+        cg, _, _ = isect.cone_hit_grid(o, d, cones, t_min, t_max)
+        cone_row = jnp.argmin(cg, axis=-1).astype(jnp.int32)
+        t_cone = jnp.take_along_axis(cg, cone_row[:, None], axis=-1)[:, 0]
+
+    cone_wins = t_cone < t_tri
+    t = jnp.where(cone_wins, t_cone, t_tri)
+    valid = t < t_max
+    prim_type = jnp.where(
+        ~valid, bruteforce.PRIM_NONE,
+        jnp.where(cone_wins, bruteforce.PRIM_CONE, bruteforce.PRIM_TRI)).astype(jnp.int32)
+    position = o + t[:, None] * d
+
+    n = jnp.zeros_like(o)
+    uv = jnp.zeros((r, 2), jnp.float32)
+    mat_id = jnp.zeros((r,), jnp.int32)
+    fu = jnp.zeros_like(o)
+    fv = jnp.zeros_like(o)
+    fw = jnp.zeros_like(o)
+    enter = jnp.zeros((r,), bool)
+    prim_id = jnp.zeros((r,), jnp.int32)
+
+    if tris.count:
+        tn, tuv, _ = isect.triangle_interpolate(tris, tri_row, position, o, d)
+        is_tri = prim_type == bruteforce.PRIM_TRI
+        n = jnp.where(is_tri[:, None], tn, n)
+        uv = jnp.where(is_tri[:, None], tuv, uv)
+        mat_id = jnp.where(is_tri, tris.mat_id[tri_row], mat_id)
+        fu = jnp.where(is_tri[:, None], tris.fiber_u[tri_row], fu)
+        fv = jnp.where(is_tri[:, None], tris.fiber_v[tri_row], fv)
+        fw = jnp.where(is_tri[:, None], tris.fiber_w[tri_row], fw)
+        orig = (scene.tri_bvh.perm[tri_row] if scene.tri_bvh is not None
+                else tri_row)
+        prim_id = jnp.where(is_tri, orig, prim_id)
+    if cones.count:
+        cn = isect.cone_normal(cones, cone_row, position)
+        cuv = isect.cone_texcoord(cones, cone_row, position)
+        is_cone = prim_type == bruteforce.PRIM_CONE
+        n = jnp.where(is_cone[:, None], cn, n)
+        uv = jnp.where(is_cone[:, None], cuv, uv)
+        mat_id = jnp.where(is_cone, cones.mat_id[cone_row], mat_id)
+        fu = jnp.where(is_cone[:, None], cones.u[cone_row], fu)
+        fv = jnp.where(is_cone[:, None], cones.v[cone_row], fv)
+        fw = jnp.where(is_cone[:, None], cones.w[cone_row], fw)
+        enter = is_cone & _cone_enter_at(cones, cone_row, o, d, t)
+        orig = (scene.cone_bvh.perm[cone_row] if scene.cone_bvh is not None
+                else cone_row)
+        prim_id = jnp.where(is_cone, orig, prim_id)
+
+    return bruteforce.Hit(
+        t=jnp.where(valid, t, INF), valid=valid, prim_type=prim_type,
+        prim_id=prim_id, mat_id=mat_id, position=position, normal=n, uv=uv,
+        enter=enter, fiber_u=fu, fiber_v=fv, fiber_w=fw)
+
+
+def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4):
+    """Shadow-ray occlusion via early-exit LBVH traversal (boolean result —
+    no gradient path, so everything runs on stopped inputs)."""
+    sg = jax.lax.stop_gradient
+    o, d, t_max = sg(o), sg(d), sg(t_max)
+    blocked = jnp.zeros((o.shape[0],), bool)
+    if scene.tri_bvh is not None:
+        sbvh = sg(scene.tri_bvh)
+        _, _, f = bvh_mod.traverse(sbvh, o, d, bvh_mod.tri_leaf_packed(sbvh),
+                                   t_min, t_max, any_hit=True)
+        blocked |= f
+    elif scene.tris.count:
+        tg, _, _, valid = isect.triangle_hit_grid(o, d, scene.tris, t_min,
+                                                  t_max[:, None])
+        blocked |= jnp.any(valid, axis=-1)
+    if scene.cone_bvh is not None:
+        sbvh = sg(scene.cone_bvh)
+        _, _, f = bvh_mod.traverse(sbvh, o, d, bvh_mod.cone_leaf_packed(sbvh),
+                                   t_min, t_max, any_hit=True)
+        blocked |= f
+    elif scene.cones.count:
+        _, _, valid = isect.cone_hit_grid(o, d, scene.cones, t_min,
+                                          t_max[:, None])
+        blocked |= jnp.any(valid, axis=-1)
+    return blocked
+
+
+def _has_bvh(scene: DeviceScene) -> bool:
+    return scene.tri_bvh is not None or scene.cone_bvh is not None
+
+
+def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
+                chunk: int = 8192) -> bruteforce.Hit:
+    """Dispatch: culled-cluster traversal for packs with a BVH (mixing in
+    the dense grid for small packs), plain brute force otherwise."""
+    if _has_bvh(scene):
+        return closest_hit_bvh(o, d, scene, t_min, t_max)
+    return bruteforce.closest_hit(o, d, scene, t_min, t_max, chunk=chunk)
+
+
+def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192):
+    if _has_bvh(scene):
+        return any_hit_bvh(o, d, scene, t_max, t_min)
+    return bruteforce.any_hit(o, d, scene, t_max, t_min, chunk=chunk)
