@@ -463,7 +463,9 @@ def marschner_closed_form(
         sin_tr = vm.dot(outn, tangent)
         theta_r = jnp.arcsin(jnp.clip(sin_tr, -1.0, 1.0))
         out_plane = vm.normalize(outn - sin_tr[:, None] * tangent)
-        phi = jnp.arccos(jnp.minimum(1.0, vm.dot(out_plane, in_plane)))
+        # the reference clamps only the +1 side (glm acos NaNs below -1 the
+        # same way); clamp both for f32 robustness
+        phi = jnp.arccos(jnp.clip(vm.dot(out_plane, in_plane), -1.0, 1.0))
         return theta_r, phi
 
     # ---- R lobe (:506-563)
@@ -537,4 +539,11 @@ def marschner_closed_form(
     n_trt = 0.5 * att_trt * dh_dphi_trt[:, None]
     scat_trt = m_trt[:, None] * n_trt / jnp.maximum(jnp.cos(theta_d_trt) ** 2, _EPS)[:, None]
 
-    return ClosedFormLobes(scat_r, scat_tt, scat_trt, sin_theta_i)
+    # degenerate configurations (out ray parallel to the tangent, zero
+    # refract vectors at exact grazing) produce non-finite lobe values in
+    # f32; they carry no energy — scrub to 0
+    def finite(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
+    return ClosedFormLobes(finite(scat_r), finite(scat_tt), finite(scat_trt),
+                           sin_theta_i)

@@ -66,12 +66,14 @@ def cornell_box(resolution=(256, 256), variant="diffuse", light_kind="quad"):
         mat_ids.extend([mid] * len(triangles))
 
     s = 1.0
-    # room interior (normals face inward via winding; shading uses faceforward)
-    add(_quad((-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s)), 0)  # floor
-    add(_quad((-s, s, s), (s, s, s), (s, s, -s), (-s, s, -s)), 0)  # ceiling
-    add(_quad((-s, -s, -s), (-s, s, -s), (s, s, -s), (s, -s, -s)), 0)  # back
-    add(_quad((-s, -s, s), (-s, s, s), (-s, s, -s), (-s, -s, -s)), 1)  # left red
-    add(_quad((s, -s, -s), (s, s, -s), (s, s, s), (s, -s, s)), 2)  # right green
+    # room interior: windings chosen so normals face INWARD (the Whitted
+    # tracer's Phong term uses the raw normal like the reference,
+    # Simple_CPU_Raytracer.cpp:117; only flips toward the view for gating)
+    add(_quad((-s, -s, -s), (-s, -s, s), (s, -s, s), (s, -s, -s)), 0)  # floor +y
+    add(_quad((-s, s, s), (-s, s, -s), (s, s, -s), (s, s, s)), 0)  # ceiling -y
+    add(_quad((-s, -s, -s), (s, -s, -s), (s, s, -s), (-s, s, -s)), 0)  # back +z
+    add(_quad((-s, -s, s), (-s, -s, -s), (-s, s, -s), (-s, s, s)), 1)  # left +x red
+    add(_quad((s, -s, -s), (s, -s, s), (s, s, s), (s, s, -s)), 2)  # right -x green
 
     if variant == "diffuse":
         add(_box((-0.55, -1.0, -0.6), (-0.05, -0.3, -0.1)), 0)

@@ -34,7 +34,11 @@ def test_bvh_closest_matches_bruteforce_tris(leaf_size):
     got = traverse.closest_hit_bvh(o, d, acc)
     np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), rtol=1e-5, atol=1e-6)
-    m = np.asarray(ref.valid)
+    # rays hitting a shared edge tie in t and may pick either triangle;
+    # compare normals/materials only where both picked the same primitive
+    same = np.asarray(got.prim_id == ref.prim_id)
+    m = np.asarray(ref.valid) & same
+    assert m.sum() >= np.asarray(ref.valid).sum() - 3  # ties are rare
     np.testing.assert_allclose(np.asarray(got.normal)[m], np.asarray(ref.normal)[m],
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got.mat_id)[m], np.asarray(ref.mat_id)[m])
