@@ -1,0 +1,144 @@
+"""Command-line interface — the Demo + objToBinaryConverter executables.
+
+Parity targets:
+  * Demo/main.cpp:185-210 flags: -s scene, -r samples, -w/-h resolution;
+    extended with depth/output/engine/fur/device options that the reference
+    exposes through ImGui instead (CPU_PathTracer.cpp:262-299).
+  * objToBinaryConverter/main.cpp:14-44: `convert in.obj out.b3df`.
+
+Usage:
+  python -m ba_pathtracing_fur_tpu.cli render -s cornell -r 64 -W 256 -H 256 -o out.png
+  python -m ba_pathtracing_fur_tpu.cli render -s scene.json --engine whitted -o out.png
+  python -m ba_pathtracing_fur_tpu.cli convert bunny.obj bunny.b3df
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_scene(args):
+    from .scene import builtins
+    res = (args.width, args.height)
+    if args.scene == "cornell":
+        return builtins.cornell_box(resolution=res)
+    if args.scene == "cornell_glossy":
+        return builtins.cornell_box(resolution=res, variant="glossy")
+    if args.scene == "fur_patch":
+        return builtins.fur_patch(resolution=res)
+    if args.scene == "hair_ball":
+        return builtins.hair_ball(resolution=res)
+    # JSON scene file
+    from .scene.graph import flatten
+    from .scene.io import load_scene_json
+    graph = load_scene_json(args.scene)
+    if args.fur:
+        n, v, r = args.fur.split(",")
+        graph.add_fur_fibers_to_all_meshes(int(n), int(v), float(r))
+    scene, cam = flatten(graph)
+    if cam is None:
+        from .core.camera import make_camera
+        cam = make_camera(position=(0, 0, 3.4), look_at=(0, 0, -1),
+                          resolution=res)
+    else:
+        import dataclasses
+        cam = cam.replace(resolution=res)
+    return scene, cam
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from .models.pathtracer import RenderConfig, render_progressive
+    from .ops import traverse
+    from .utils import clock as clock_mod, film, log
+
+    scene, camera = _build_scene(args)
+    if args.bvh:
+        build_clock = clock_mod.Clock()
+        scene = traverse.attach_bvh(scene)
+        log.log_info("accel build: %s", round(build_clock.elapsed(), 3))
+
+    w, h = camera.resolution
+    if args.engine == "whitted":
+        from .models.whitted import WhittedConfig, render_whitted_jit
+        cfg = WhittedConfig(depth=args.depth, supersamples=args.supersamples,
+                            hair_lobes=args.hair_lobes)
+        dc = clock_mod.DeviceClock()
+        img = render_whitted_jit(scene, camera, cfg)
+        log.log_info("whitted render: %s (% Mrays/s)", round(dc.stop(img), 3),
+                     round(w * h / dc.elapsed() / 1e6, 2))
+        img = np.asarray(img)
+    else:
+        cfg = RenderConfig(depth=args.depth, spp=args.samples,
+                           ray_chunk=args.ray_chunk, tonemap=False)
+        prog = clock_mod.RenderProgress(args.samples, w * h * args.depth,
+                                        log_every=max(1, args.samples // 10))
+        img = None
+        for i, acc in render_progressive(scene, camera, jax.random.key(args.seed), cfg):
+            prog.update(1, acc)
+            img = acc
+        img = np.asarray(img)
+
+    if args.tonemap:
+        from .ops import tonemap as tm
+        img = np.asarray(tm.tonemap(img, tm.TonemapParams(gamma=2.2)))
+        film.write_png(args.output, img, gamma=1.0)
+    else:
+        film.write_png(args.output, img)
+    log.log_info("wrote %", args.output)
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from .scene.binmesh import convert_obj
+    from .utils import log
+    convert_obj(args.input, args.output, compress=not args.raw)
+    log.log_info("converted % -> %", args.input, args.output)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ba_pathtracing_fur_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene (Demo analog)")
+    r.add_argument("-s", "--scene", default="cornell",
+                   help="builtin (cornell|cornell_glossy|fur_patch|hair_ball) or scene.json")
+    r.add_argument("-r", "--samples", type=int, default=100)  # Demo default
+    r.add_argument("-W", "--width", type=int, default=1280)
+    r.add_argument("-H", "--height", type=int, default=720)
+    r.add_argument("-d", "--depth", type=int, default=5)
+    r.add_argument("-o", "--output", default="render.png")
+    r.add_argument("--engine", choices=("pt", "whitted"), default="pt")
+    r.add_argument("--hair-lobes", choices=("r", "all"), default="r")
+    r.add_argument("--supersamples", type=int, default=1)
+    r.add_argument("--fur", default=None, help="N,V,R fur growth for json scenes")
+    r.add_argument("--bvh", action=argparse.BooleanOptionalAction, default=True)
+    r.add_argument("--tonemap", action="store_true")
+    r.add_argument("--ray-chunk", type=int, default=65536)
+    r.add_argument("--seed", type=int, default=0)
+    r.set_defaults(fn=cmd_render)
+
+    c = sub.add_parser("convert", help="obj -> b3df (objToBinaryConverter analog)")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--raw", action="store_true", help="skip compression")
+    c.set_defaults(fn=cmd_convert)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
