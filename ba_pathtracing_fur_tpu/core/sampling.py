@@ -41,12 +41,18 @@ def dielectric_fresnel(cos_theta, eta_i, eta_t):
         jnp.where(entering, eta_t, eta_i),
     )
     cos_i = jnp.abs(cos_i)
-    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_i = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_i * cos_i))
     sin_t = eta_i_ / eta_t_ * sin_i
     tir = sin_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
-    rparl = (eta_t_ * cos_i - eta_i_ * cos_t) / jnp.maximum(eta_t_ * cos_i + eta_i_ * cos_t, vm.EPS)
-    rperp = (eta_i_ * cos_i - eta_t_ * cos_t) / jnp.maximum(eta_i_ * cos_i + eta_t_ * cos_t, vm.EPS)
+    cos_t = jnp.sqrt(jnp.maximum(1e-12, 1.0 - sin_t * sin_t))
+    def safe(x):
+        # sign-preserving zero guard: Bravais "indices" are legitimately
+        # negative at grazing (Bsdf.cpp:542-545), so a one-sided floor would
+        # blow the ratio up by ~1/eps
+        return jnp.where(jnp.abs(x) < vm.EPS, jnp.where(x < 0, -vm.EPS, vm.EPS), x)
+
+    rparl = (eta_t_ * cos_i - eta_i_ * cos_t) / safe(eta_t_ * cos_i + eta_i_ * cos_t)
+    rperp = (eta_i_ * cos_i - eta_t_ * cos_t) / safe(eta_i_ * cos_i + eta_t_ * cos_t)
     f = 0.5 * (rparl * rparl + rperp * rperp)
     return jnp.where(tir, 1.0, f)
 

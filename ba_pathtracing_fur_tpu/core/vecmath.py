@@ -23,7 +23,8 @@ def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def length(v: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 0.0))
+    # floor > 0: sqrt'(0) is inf, which poisons VJPs of masked zero vectors
+    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 1e-20))
 
 
 def normalize(v: jnp.ndarray) -> jnp.ndarray:
@@ -47,7 +48,7 @@ def refract(incident: jnp.ndarray, normal: jnp.ndarray, eta) -> jnp.ndarray:
     cos_i = dot(normal, incident, keepdims=True)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
     tir = k < 0.0
-    k_safe = jnp.maximum(k, 0.0)
+    k_safe = jnp.maximum(k, 1e-12)  # sqrt'(0)=inf poisons VJPs at exact TIR
     out = eta * incident - (eta * cos_i + jnp.sqrt(k_safe)) * normal
     return jnp.where(tir, 0.0, out)
 
@@ -115,7 +116,7 @@ def rotate_about_axis(v: jnp.ndarray, axis: jnp.ndarray, angle) -> jnp.ndarray:
 def angle_between(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """glm::angle equivalent: acos of clamped dot of normalized vectors."""
     d = dot(normalize(a), normalize(b))
-    return jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    return jnp.arccos(jnp.clip(d, -1.0 + 1e-7, 1.0 - 1e-7))
 
 
 def homogeneous_transform_point(mat4: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:

@@ -49,22 +49,26 @@ def bessel_j0(x):
     """Bessel function of the first kind, order 0 (Abramowitz & Stegun 9.4)."""
     x = jnp.asarray(x)
     ax = jnp.abs(x)
+    # Each branch's input is clamped into its own validity domain so the
+    # UNSELECTED branch never overflows: jnp.where's VJP multiplies the
+    # branch's internal partials, and an inf there turns 0-cotangents into NaNs.
     # |x| < 8: rational approximation
-    y = x * x
+    y = jnp.minimum(x * x, 64.0)
     p1 = (57568490574.0 + y * (-13362590354.0 + y * (651619640.7
           + y * (-11214424.18 + y * (77392.33017 + y * -184.9052456)))))
     q1 = (57568490411.0 + y * (1029532985.0 + y * (9494680.718
           + y * (59272.64853 + y * (267.8532712 + y)))))
     small = p1 / q1
     # |x| >= 8: asymptotic
-    z = 8.0 / jnp.maximum(ax, _EPS)
+    ax_l = jnp.maximum(ax, 8.0)
+    z = 8.0 / ax_l
     y2 = z * z
-    xx = ax - 0.785398164
+    xx = ax_l - 0.785398164
     p2 = (1.0 + y2 * (-0.1098628627e-2 + y2 * (0.2734510407e-4
           + y2 * (-0.2073370639e-5 + y2 * 0.2093887211e-6))))
     q2 = (-0.1562499995e-1 + y2 * (0.1430488765e-3 + y2 * (-0.6911147651e-5
           + y2 * (0.7621095161e-6 + y2 * -0.934935152e-7))))
-    large = jnp.sqrt(0.636619772 / jnp.maximum(ax, _EPS)) * (jnp.cos(xx) * p2 - z * jnp.sin(xx) * q2)
+    large = jnp.sqrt(0.636619772 / ax_l) * (jnp.cos(xx) * p2 - z * jnp.sin(xx) * q2)
     return jnp.where(ax < 8.0, small, large)
 
 
@@ -75,12 +79,18 @@ def _to_cyl(x, fu, fv, fw):
 
 
 def _theta(cyl):
-    """Angle against the fiber's normal plane (Bsdf.cpp:511)."""
-    return jnp.arctan2(jnp.hypot(cyl[..., 0], cyl[..., 2]), cyl[..., 1])
+    """Angle against the fiber's normal plane (Bsdf.cpp:511).
+
+    hypot has a NaN gradient at (0,0) — floor the radicand instead."""
+    r = jnp.sqrt(jnp.maximum(cyl[..., 0] ** 2 + cyl[..., 2] ** 2, 1e-20))
+    return jnp.arctan2(r, cyl[..., 1])
 
 
 def _phi(cyl):
-    return jnp.arctan2(cyl[..., 0], cyl[..., 1])
+    # arctan2's VJP divides by x^2+y^2 — guard the (0,0) point
+    x, y = cyl[..., 0], cyl[..., 1]
+    degenerate = (jnp.abs(x) < 1e-12) & (jnp.abs(y) < 1e-12)
+    return jnp.arctan2(x, jnp.where(degenerate, 1.0, y))
 
 
 def _bravais(ior, gamma_i):
@@ -90,6 +100,12 @@ def _bravais(ior, gamma_i):
     x1 = jnp.sqrt(jnp.maximum(ior * ior - jnp.sin(gamma_i) ** 2, _EPS))
     return x1 / cg_safe, ior * ior * cg_safe / x1
 
+
+
+def _clip1(x):
+    """clip to (-1, 1) exclusive: arcsin/arccos have infinite derivative at
+    the closed boundary, which turns into NaN through jnp.where VJPs."""
+    return jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6)
 
 def _safe_div(a, b):
     return a / jnp.where(jnp.abs(b) < _EPS, jnp.where(b < 0, -_EPS, _EPS), b)
@@ -160,7 +176,7 @@ def _marschner_TT_exit(mp, nin, n, fu, fv, fw, in_cyl):
 
     gamma_i = vm.angle_between(nin, vm.normalize(n))
     b1, b2 = _bravais(mp.ior, gamma_i)
-    c = jnp.arcsin(jnp.clip(1.0 / b1, -1.0, 1.0))
+    c = jnp.arcsin(_clip1(1.0 / b1))
     h = jnp.sin(gamma_i)
     pi = jnp.pi
     denom = _safe_div(1.0, jnp.sqrt(jnp.maximum(1.0 - h * h, _EPS))) * (
@@ -168,7 +184,7 @@ def _marschner_TT_exit(mp, nin, n, fu, fv, fw, in_cyl):
     )
     dh_dphi = _safe_div(1.0, jnp.abs(denom))
     fresnel = sp.dielectric_fresnel(gamma_i, b1, b2)
-    cos_gamma_t = -2.0 * jnp.cos(jnp.arcsin(jnp.clip(h / b1, -1.0, 1.0)))
+    cos_gamma_t = -2.0 * jnp.cos(jnp.arcsin(_clip1(h / b1)))
     new_sigma = mp.diffuse / jnp.maximum(jnp.cos(theta_r), _EPS)[:, None]
     att = ((1.0 - fresnel) ** 2)[:, None] * jnp.exp(new_sigma * cos_gamma_t[:, None])
     n_tt = 0.5 * att * dh_dphi[:, None]
@@ -206,7 +222,7 @@ def _marschner_TRT_exit(mp, nin, n, fu, fv, fw, in_cyl):
 
     gamma_i = vm.angle_between(nin, vm.normalize(n))
     b1, b2 = _bravais(mp.ior, gamma_i)
-    c = jnp.arcsin(jnp.clip(1.0 / b1, -1.0, 1.0))
+    c = jnp.arcsin(_clip1(1.0 / b1))
     h = jnp.sin(gamma_i)
     pi = jnp.pi
     denom = _safe_div(1.0, jnp.sqrt(jnp.maximum(1.0 - h * h, _EPS))) * (
@@ -214,7 +230,7 @@ def _marschner_TRT_exit(mp, nin, n, fu, fv, fw, in_cyl):
     )
     dh_dphi = _safe_div(1.0, jnp.abs(denom))
     fresnel = sp.dielectric_fresnel(gamma_i, b1, b2)
-    gamma_t = jnp.arcsin(jnp.clip(h / b1, -1.0, 1.0))
+    gamma_t = jnp.arcsin(_clip1(h / b1))
     cos_gamma_t = jnp.cos(gamma_t)
     fresnel_exit = sp.dielectric_fresnel(gamma_t, 1.0 / b1, 1.0 / b2)
     new_sigma = mp.diffuse / jnp.maximum(jnp.cos(theta_r), _EPS)[:, None]
@@ -278,14 +294,19 @@ def _deon_M(v, theta_i, theta_r, radians_quirk):
     """
     v_safe = jnp.maximum(v, _EPS)
     if radians_quirk:
-        csch = 1.0 / jnp.sinh(jnp.radians(1.0 / v_safe))
+        x = jnp.radians(1.0 / v_safe)
         scale = jnp.degrees(v_safe)
     else:
-        csch = 1.0 / jnp.sinh(1.0 / v_safe)
+        x = 1.0 / v_safe
         scale = v_safe
-    e = jnp.exp(jnp.sin(-theta_i) * jnp.sin(theta_r) / scale)
+    # csch(x)/(2v) * e^s computed in log space: sinh(1/v) overflows f32 for
+    # small v and its cosh-valued derivative turns the VJP into inf/inf NaNs.
+    # log(csch(x)) = log 2 - x - log1p(-e^(-2x))
+    s = jnp.sin(-theta_i) * jnp.sin(theta_r) / scale
+    x_pos = jnp.maximum(x, _EPS)
+    log_m = -x_pos - jnp.log1p(-jnp.exp(-2.0 * x_pos)) - jnp.log(v_safe) + s
     bes = bessel_j0(jnp.cos(-theta_i) * jnp.cos(theta_r) / scale)
-    return (csch / (2.0 * v_safe)) * e * bes
+    return jnp.exp(jnp.minimum(log_m, 80.0)) * bes
 
 
 def _deon_detector(phi, stddev_deg):
@@ -325,7 +346,7 @@ def deon_sample(mp: MatParams, wi, n, fu, fv, fw, flags, p_choice) -> HairSample
     phi_r_r = _phi(out_cyl_r)
     d_r = 0.25 * jnp.abs(jnp.cos(phi_r_r - phi_i / 2.0))  # quirk kept (Bsdf.cpp:1006)
     fres_r = sp.dielectric_fresnel(
-        0.5 * jnp.arccos(jnp.clip(vm.dot(nin, vm.normalize(wo_r)), -1.0, 1.0)), 1.0, ior)
+        0.5 * jnp.arccos(_clip1(vm.dot(nin, vm.normalize(wo_r)))), 1.0, ior)
     refl_r = jnp.broadcast_to((m_r * 0.5 * fres_r * d_r)[:, None], nin.shape)
     pdf_r = m_r
 
@@ -345,8 +366,8 @@ def deon_sample(mp: MatParams, wi, n, fu, fv, fw, flags, p_choice) -> HairSample
     bravais = jnp.sqrt(jnp.maximum(ior * ior - jnp.sin(theta_d_tt) ** 2, _EPS)) / \
         jnp.maximum(cos_td, _EPS)
     d_tt = _deon_detector(phi_tt, jnp.degrees(beta / 2.0))
-    fres_tt = sp.dielectric_fresnel(jnp.arccos(jnp.clip(cos_td * jnp.cos(gamma_i), -1.0, 1.0)), ior, 1.0)
-    cos_2gt = jnp.cos(2.0 * jnp.arcsin(jnp.clip(h / bravais, -1.0, 1.0)))
+    fres_tt = sp.dielectric_fresnel(jnp.arccos(_clip1(cos_td * jnp.cos(gamma_i))), ior, 1.0)
+    cos_2gt = jnp.cos(2.0 * jnp.arcsin(_clip1(h / bravais)))
     sigma_tt = mp.diffuse / jnp.maximum(jnp.cos(theta_r_tt), _EPS)[:, None]
     att_tt = ((1.0 - fres_tt) ** 2)[:, None] * jnp.exp(-2.0 * sigma_tt * (1.0 + cos_2gt)[:, None])
     refl_tt = m_tt[:, None] * 0.5 * att_tt * d_tt[:, None]
@@ -369,8 +390,8 @@ def deon_sample(mp: MatParams, wi, n, fu, fv, fw, flags, p_choice) -> HairSample
     bravais2 = jnp.sqrt(jnp.maximum(ior * ior - jnp.sin(theta_d_trt) ** 2, _EPS)) / \
         jnp.maximum(cos_td2, _EPS)
     d_trt = _deon_detector(phi_trt, jnp.degrees(beta * 2.0))
-    fres_trt = sp.dielectric_fresnel(jnp.arccos(jnp.clip(cos_td2 * jnp.cos(gamma_i), -1.0, 1.0)), ior, 1.0)
-    cos_2gt2 = jnp.cos(2.0 * jnp.arcsin(jnp.clip(h / bravais2, -1.0, 1.0)))
+    fres_trt = sp.dielectric_fresnel(jnp.arccos(_clip1(cos_td2 * jnp.cos(gamma_i))), ior, 1.0)
+    cos_2gt2 = jnp.cos(2.0 * jnp.arcsin(_clip1(h / bravais2)))
     sigma_trt = mp.diffuse / jnp.maximum(jnp.cos(theta_r_trt), _EPS)[:, None]
     att_trt = ((1.0 - fres_trt) ** 2 * fres_trt)[:, None] * \
         jnp.exp(-2.0 * sigma_trt * (1.0 + cos_2gt2)[:, None]) ** 2
@@ -454,18 +475,18 @@ def marschner_closed_form(
     ior = mp.ior
 
     sin_theta_i = vm.dot(nin, tangent)
-    theta_i = jnp.arcsin(jnp.clip(sin_theta_i, -1.0, 1.0))
+    theta_i = jnp.arcsin(_clip1(sin_theta_i))
     in_plane = vm.normalize(nin - sin_theta_i[:, None] * tangent)
     nf = vm.faceforward(normal, -nin, normal)
 
     def lobe_angles(out_ray):
         outn = vm.normalize(out_ray)
         sin_tr = vm.dot(outn, tangent)
-        theta_r = jnp.arcsin(jnp.clip(sin_tr, -1.0, 1.0))
+        theta_r = jnp.arcsin(_clip1(sin_tr))
         out_plane = vm.normalize(outn - sin_tr[:, None] * tangent)
         # the reference clamps only the +1 side (glm acos NaNs below -1 the
         # same way); clamp both for f32 robustness
-        phi = jnp.arccos(jnp.clip(vm.dot(out_plane, in_plane), -1.0, 1.0))
+        phi = jnp.arccos(_clip1(vm.dot(out_plane, in_plane)))
         return theta_r, phi
 
     # ---- R lobe (:506-563)
@@ -475,7 +496,7 @@ def marschner_closed_form(
     theta_d = 0.5 * (theta_r - theta_i)
     m_r = sp.normal_gauss_pdf(theta_h - jnp.radians(alpha), 0.0, beta)
     h_r = jnp.sin(phi) * -0.5
-    gamma_r = jnp.arcsin(jnp.clip(h_r, -1.0, 1.0))
+    gamma_r = jnp.arcsin(_clip1(h_r))
     dh_dphi_r = jnp.abs(_safe_div(-2.0, jnp.sqrt(jnp.maximum(1.0 - h_r * h_r, _EPS))))
     b1, b2 = _bravais(ior, gamma_r)
     fr = sp.dielectric_fresnel(jnp.cos(gamma_r), b1, b2)
@@ -497,16 +518,16 @@ def marschner_closed_form(
     nenner = jnp.sqrt(jnp.maximum(
         1.0 + a_inv ** 2 - 2.0 * a_inv * jnp.sign(phi_tt) * jnp.sin(phi_tt / 2.0), _EPS))
     h_tt = jnp.sign(phi_tt) * jnp.cos(phi_tt / 2.0) / nenner
-    gamma_tt = jnp.arcsin(jnp.clip(h_tt, -1.0, 1.0))
+    gamma_tt = jnp.arcsin(_clip1(h_tt))
     b1t, b2t = _bravais(ior, gamma_tt)
-    c_tt = jnp.arcsin(jnp.clip(1.0 / b1t, -1.0, 1.0))
+    c_tt = jnp.arcsin(_clip1(1.0 / b1t))
     pi = jnp.pi
     denom_tt = _safe_div(1.0, jnp.sqrt(jnp.maximum(1.0 - h_tt * h_tt, _EPS))) * (
         -(24.0 * c_tt / pi ** 3) * gamma_tt ** 2 + (6.0 * c_tt / pi - 2.0))
     dh_dphi_tt = _safe_div(1.0, jnp.abs(denom_tt))
     f_tt = sp.dielectric_fresnel(jnp.cos(gamma_tt), b1t, b2t)
     f_tt = jnp.where(f_tt == 1.0, 0.0, f_tt)
-    cos_gamma_t = 2.0 * jnp.cos(jnp.arcsin(jnp.clip(h_tt / b1t, -1.0, 1.0)))
+    cos_gamma_t = 2.0 * jnp.cos(jnp.arcsin(_clip1(h_tt / b1t)))
     sigma = mp.diffuse / jnp.maximum(jnp.cos(theta_r_tt), _EPS)[:, None]
     att_tt = ((1.0 - f_tt) ** 2)[:, None] * jnp.exp(sigma * cos_gamma_t[:, None])
     n_tt = 0.5 * att_tt * dh_dphi_tt[:, None]
@@ -515,7 +536,7 @@ def marschner_closed_form(
     # ---- TRT lobe (:654-745)
     tr_dir = vm.reflect(-vm.normalize(t_dir), t_nf)
     tr_nf = vm.faceforward(tr_normal, -vm.normalize(tr_dir), tr_normal)
-    out_trt = vm.refract(-vm.normalize(tr_dir), tr_nf, jnp.clip(ior, -1.0, 1.0)[:, None])
+    out_trt = vm.refract(-vm.normalize(tr_dir), tr_nf, _clip1(ior)[:, None])
     out_trt = vm.rotate_about_axis(out_trt, fiber_axis, 3.0 * alpha / 2.0)
     theta_r_trt, phi_trt = lobe_angles(out_trt)
     theta_h_trt = 0.5 * (theta_r_trt + theta_i)
@@ -524,13 +545,13 @@ def marschner_closed_form(
     gamma_trt = vm.angle_between(nin, vm.normalize(normal))
     h_trt = jnp.sin(gamma_trt)
     b1r, b2r = _bravais(ior, gamma_trt)
-    c_trt = jnp.arcsin(jnp.clip(1.0 / b1r, -1.0, 1.0))
+    c_trt = jnp.arcsin(_clip1(1.0 / b1r))
     denom_trt = _safe_div(1.0, jnp.sqrt(jnp.maximum(1.0 - h_trt * h_trt, _EPS))) * (
         -(48.0 * c_trt / pi ** 3) * gamma_trt ** 2 + (12.0 * c_trt / pi - 2.0))
     dh_dphi_trt = _safe_div(1.0, jnp.abs(denom_trt))
     f_trt = sp.dielectric_fresnel(jnp.cos(gamma_trt), b1r, b2r)
     f_trt = jnp.where(f_trt == 1.0, 0.0, f_trt)
-    gamma_t2 = jnp.arcsin(jnp.clip(h_trt / b1r, -1.0, 1.0))
+    gamma_t2 = jnp.arcsin(_clip1(h_trt / b1r))
     cos_gamma_t2 = jnp.cos(gamma_t2)
     f_exit = sp.dielectric_fresnel(cos_gamma_t2, 1.0 / b1r, 1.0 / b2r)
     sigma2 = mp.diffuse / jnp.maximum(jnp.cos(theta_r_trt), _EPS)[:, None]

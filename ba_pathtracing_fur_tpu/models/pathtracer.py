@@ -127,6 +127,19 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     radiance = jnp.where((miss | hit_light)[:, None], 0.0, radiance)
 
     # --- material shaders on geometry hits ---------------------------------
+    # Sanitize hit fields for rays that missed: their normals are zero and
+    # positions infinite. The shading below is masked by hit_geom, so forward
+    # values don't change — but NaNs in unselected jnp.where branches poison
+    # the BACKWARD pass (0 * NaN = NaN in the where VJP).
+    v3 = hit.valid[:, None]
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    hit = hit.replace(
+        normal=jnp.where(v3, hit.normal, up),
+        position=jnp.where(v3, hit.position, 0.0),
+        fiber_u=jnp.where(v3, hit.fiber_u, jnp.array([1.0, 0.0, 0.0])),
+        fiber_v=jnp.where(v3, hit.fiber_v, up),
+        fiber_w=jnp.where(v3, hit.fiber_w, jnp.array([0.0, 0.0, 1.0])),
+    )
     mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv, scene.textures)
     counter = -vm.normalize(state.direction)
     n = hit.normal

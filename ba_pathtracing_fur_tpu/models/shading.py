@@ -75,7 +75,7 @@ def sample_light_dir(lights: LightPack, idx, sample_pos, u) -> LightSample:
     disk = sp.sample_disk_about(u, direction, radius)
     s_pos = pos + disk
     s_dir = s_pos - sample_pos
-    angle = jnp.degrees(jnp.arccos(jnp.clip(vm.dot(vm.normalize(-s_dir), direction), -1.0, 1.0)))
+    angle = jnp.degrees(jnp.arccos(jnp.clip(vm.dot(vm.normalize(-s_dir), direction), -1.0 + 1e-7, 1.0 - 1e-7)))
     inner = lights.inner_angle[idx]
     outer = lights.outer_angle[idx]
     delta = 1.0 - jnp.clip((angle - inner) / jnp.maximum(outer - inner, 1e-6), 0.0, 1.0)
@@ -120,7 +120,7 @@ def environment_color(env: Environment, ray_dir):
     d = vm.normalize(ray_dir)
     if env.kind == ENV_SPHERE_MAP:
         u = 0.5 + jnp.arctan2(d[..., 2], d[..., 0]) / (2.0 * jnp.pi)
-        v = 0.5 - jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+        v = 0.5 - jnp.arcsin(jnp.clip(d[..., 1], -1.0 + 1e-7, 1.0 - 1e-7)) / jnp.pi
         h, w = env.texture.shape[0], env.texture.shape[1]
         xi = jnp.clip((u * (w - 1)).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip((v * (h - 1)).astype(jnp.int32), 0, h - 1)

@@ -433,7 +433,7 @@ def _cone_core(o, d, comp, t_min, t_best):
 
     disc = b * b - a * c
     has_roots = disc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
     a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
     t1 = (-b - sq) / a_safe
     t2 = (-b + sq) / a_safe

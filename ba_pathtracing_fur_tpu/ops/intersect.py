@@ -112,7 +112,7 @@ def cone_hit_grid(o, d, cones: ConePack, t_min, t_max, ray_eps=1e-4):
 
     disc = b * b - a * c
     has_roots = disc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
     a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
     t1 = (-b - sq) / a_safe
     t2 = (-b + sq) / a_safe
@@ -151,7 +151,7 @@ def cone_texcoord(cones: ConePack, cone_id, point):
     v = vm.dot(rel, cones.v[cone_id])
     w = vm.dot(rel, cones.w[cone_id])
     r = cones.r_base[cone_id] - cones.slope[cone_id] * v
-    tmp = jnp.clip(w / jnp.where(jnp.abs(r) < 1e-12, 1e-12, r), -1.0, 1.0)
+    tmp = jnp.clip(w / jnp.where(jnp.abs(r) < 1e-12, 1e-12, r), -1.0 + 1e-7, 1.0 - 1e-7)
     phi = jnp.where(u < 0.0, 2.0 * jnp.pi - jnp.arccos(tmp), jnp.arccos(tmp))
     return jnp.stack([phi / (2.0 * jnp.pi), v / cones.height[cone_id]], axis=-1)
 
@@ -236,7 +236,7 @@ def light_hit_grid(o, d, lights: LightPack):
     c = vm.dot(pos, pos) + vm.dot(ro, ro) - 2.0 * vm.dot(ro, pos) - radius_sq
     disc = b * b - 4.0 * a * c
     point_ok = (radius_sq > 0.0) & (~facing_away) & (disc >= 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
     t_point = -0.5 * (b + sq) / jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
 
     # --- quad: two triangles (v0,v1,v3) and (v2,v3,v1) (Light.cpp:231)
