@@ -111,6 +111,16 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF) -> brutefor
         cone_row = jnp.argmin(cg, axis=-1).astype(jnp.int32)
         t_cone = jnp.take_along_axis(cg, cone_row[:, None], axis=-1)[:, 0]
 
+    return _assemble_hit(o, d, scene, t_tri, tri_row, t_cone, cone_row, t_max)
+
+
+def _assemble_hit(o, d, scene: DeviceScene, t_tri, tri_row, t_cone, cone_row,
+                  t_max) -> bruteforce.Hit:
+    """Merge per-pack winners into a full Hit (Intersection.h:11-48 analog).
+    Rows index the scene's CURRENT packs (reordered ones when BVHs are
+    attached — perm maps back to original prim ids)."""
+    r = o.shape[0]
+    tris, cones = scene.tris, scene.cones
     cone_wins = t_cone < t_tri
     t = jnp.where(cone_wins, t_cone, t_tri)
     valid = t < t_max
@@ -188,16 +198,65 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4):
     return blocked
 
 
+def closest_hit_pallas(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF) -> bruteforce.Hit:
+    """Nearest hit via the fused Pallas streaming kernels (ops/pallas):
+    exact brute force without the [R,P] grid — for mid-size scenes on TPU
+    where no BVH is attached."""
+    from .pallas import intersect as pk
+
+    r = o.shape[0]
+    sg = jax.lax.stop_gradient
+
+    t_tri = jnp.full((r,), INF)
+    tri_row = jnp.zeros((r,), jnp.int32)
+    if scene.tris.count:
+        packed, _ = pk.pack_tris_cm(sg(scene.tris))
+        t_k, tri_row = pk.tri_closest(sg(o), sg(d), packed, t_min)
+        tri_row = jnp.maximum(tri_row, 0)
+        found = t_k < t_max
+        # differentiable winner-t recompute (see closest_hit_bvh)
+        t_re = bvh_mod.tri_leaf_rows(scene.tris)(o, d, tri_row[:, None], t_min,
+                                                 jnp.full((r,), t_max))[:, 0]
+        t_tri = jnp.where(found, t_re, INF)
+
+    t_cone = jnp.full((r,), INF)
+    cone_row = jnp.zeros((r,), jnp.int32)
+    if scene.cones.count:
+        packed, _ = pk.pack_cones_cm(sg(scene.cones))
+        t_k, cone_row = pk.cone_closest(sg(o), sg(d), packed, t_min)
+        cone_row = jnp.maximum(cone_row, 0)
+        found_c = t_k < t_max
+        t_re = bvh_mod.cone_leaf_rows(scene.cones)(o, d, cone_row[:, None],
+                                                   t_min, jnp.full((r,), t_max))[:, 0]
+        t_cone = jnp.where(found_c, t_re, INF)
+
+    return _assemble_hit(o, d, scene, t_tri, tri_row, t_cone, cone_row, t_max)
+
+
 def _has_bvh(scene: DeviceScene) -> bool:
     return scene.tri_bvh is not None or scene.cone_bvh is not None
+
+
+# module-level switch for the Pallas brute-force path (set by CLI/bench;
+# a python bool read at trace time, like the accel-structure swap in the
+# reference's GUI, Demo/main.cpp:94-127)
+_PALLAS_BRUTEFORCE = False
+
+
+def enable_pallas_bruteforce(on: bool = True) -> None:
+    global _PALLAS_BRUTEFORCE
+    _PALLAS_BRUTEFORCE = on
 
 
 def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
                 chunk: int = 8192) -> bruteforce.Hit:
     """Dispatch: culled-cluster traversal for packs with a BVH (mixing in
-    the dense grid for small packs), plain brute force otherwise."""
+    the dense grid for small packs), Pallas streaming brute force when
+    enabled, plain jnp brute force otherwise."""
     if _has_bvh(scene):
         return closest_hit_bvh(o, d, scene, t_min, t_max)
+    if _PALLAS_BRUTEFORCE:
+        return closest_hit_pallas(o, d, scene, t_min, t_max)
     return bruteforce.closest_hit(o, d, scene, t_min, t_max, chunk=chunk)
 
 

@@ -1,0 +1,79 @@
+"""Pallas fused intersection kernels vs the jnp brute-force oracle.
+
+Kernels run interpret=True off-TPU (conftest forces CPU), so these validate
+kernel logic everywhere; the driver's real-TPU bench exercises the compiled
+path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ba_pathtracing_fur_tpu.ops import bruteforce, intersect as isect
+from ba_pathtracing_fur_tpu.ops.pallas import intersect as pk
+from ba_pathtracing_fur_tpu.scene.builtins import cornell_box, fur_patch
+
+
+def _rays(n, seed, aim=None):
+    rs = np.random.RandomState(seed)
+    o = rs.uniform(-2, 2, (n, 3)).astype(np.float32)
+    if aim is None:
+        d = rs.normal(size=(n, 3)).astype(np.float32)
+    else:
+        d = rs.uniform(aim[0], aim[1], (n, 3)).astype(np.float32) - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_pallas_tri_matches_grid():
+    scene, _ = cornell_box(resolution=(8, 8))
+    o, d = _rays(300, 0)
+    packed, count = pk.pack_tris_cm(scene.tris)
+    t, idx = pk.tri_closest(o, d, packed)
+
+    tg, _, _, _ = isect.triangle_hit_grid(o, d, scene.tris, 1e-4, pk.INF)
+    ref_idx = np.argmin(np.asarray(tg), axis=-1)
+    ref_t = np.asarray(tg)[np.arange(300), ref_idx]
+
+    np.testing.assert_allclose(np.asarray(t), ref_t, rtol=1e-5, atol=1e-6)
+    hit = ref_t < 1e30
+    # ties on shared edges can pick either triangle; t equality is the check
+    assert (np.asarray(idx)[hit] >= 0).all()
+
+
+def test_pallas_cone_matches_grid():
+    scene, _ = fur_patch(resolution=(8, 8), fibers_per_face=16, fiber_verts=5,
+                         fiber_radius=0.02)
+    o, d = _rays(400, 1, aim=((-0.4, 0.0, -0.4), (0.4, 0.12, 0.4)))
+    packed, count = pk.pack_cones_cm(scene.cones)
+    t, idx = pk.cone_closest(o, d, packed)
+
+    cg, _, _ = isect.cone_hit_grid(o, d, scene.cones, 1e-4, pk.INF)
+    ref_idx = np.argmin(np.asarray(cg), axis=-1)
+    ref_t = np.asarray(cg)[np.arange(400), ref_idx]
+
+    np.testing.assert_allclose(np.asarray(t), ref_t, rtol=2e-3, atol=1e-6)
+
+
+def test_pallas_handles_nonmultiple_ray_count():
+    scene, _ = cornell_box(resolution=(8, 8))
+    o, d = _rays(101, 2)
+    packed, _ = pk.pack_tris_cm(scene.tris)
+    t, idx = pk.tri_closest(o, d, packed)
+    assert t.shape == (101,) and idx.shape == (101,)
+
+
+def test_pallas_dispatch_render_matches_bruteforce():
+    import jax
+    from ba_pathtracing_fur_tpu.models.pathtracer import RenderConfig, render_image
+    from ba_pathtracing_fur_tpu.ops import traverse
+
+    scene, camera = cornell_box(resolution=(16, 16))
+    cfg = RenderConfig(depth=2, spp=1, ray_chunk=1024)
+    key = jax.random.key(4)
+    ref = render_image(scene, camera, key, cfg)
+    traverse.enable_pallas_bruteforce(True)
+    try:
+        got = render_image(scene, camera, key, cfg)
+    finally:
+        traverse.enable_pallas_bruteforce(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
