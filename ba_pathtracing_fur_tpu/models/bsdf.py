@@ -281,6 +281,88 @@ def sample_surface(mp: MatParams, wi, n, u, flags) -> BsdfSample:
     )
 
 
+# --- MIS support -------------------------------------------------------------
+# The reference does plain NEE with no pdf formalism (SimpleShader.h:101-152);
+# MIS is the north-star extension (SURVEY §7 step 4, BASELINE config 2). For
+# the power heuristic both strategies must be compared in SOLID-ANGLE density,
+# so the non-delta BSDFs get true (f, pdf) evaluators here. Approximate pdfs
+# only affect variance, never bias — MIS stays unbiased for any weights that
+# sum to 1 across strategies able to generate the sample.
+
+_DELTA_EPS = 1e-3
+
+
+def _glossy_cone(mp: MatParams):
+    """Uniform-cone half-angle the glossy sampler uses (Bsdf.cpp:229-238:
+    180 - (1-roughness)*180 = roughness*180 degrees) and its pdf."""
+    rad = jnp.radians(mp.roughness * 180.0)
+    cos_max = jnp.cos(rad)
+    inv_solid = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-6)
+    return cos_max, inv_solid
+
+
+def is_delta(mp: MatParams) -> jnp.ndarray:
+    """[R] bool: BSDFs whose sampling density is a delta (mirror/glass/...),
+    plus glossy at ~zero roughness. Hair ids count as delta — the automaton
+    walk has no closed solid-angle pdf; light hits along it keep weight 1."""
+    bid = mp.bsdf_id
+    smooth = (bid == BSDF_LAMBERT) | (bid == BSDF_LAMBERT_TRANSMISSION)
+    glossy_wide = (bid == BSDF_GLOSSY) & (mp.roughness > _DELTA_EPS)
+    return ~(smooth | glossy_wide)
+
+
+def eval_pdf(mp: MatParams, n, wi_view, wo):
+    """(f [R,3], pdf [R]) of the material for an ARBITRARY direction `wo`,
+    with `wi_view` the counter (toward-viewer) direction. Solid-angle
+    measure. Delta BSDFs return (0, 0).
+
+    Consistency contract with the samplers above: for a sampled wo,
+    f * |cos| / pdf here equals the sampler's reflectance * |cos| / pdf —
+    e.g. glossy's bundled form reflectance=specular/|cos|, pdf=1 maps to
+    f = specular * cone_pdf / |cos|, pdf = cone_pdf.
+    """
+    bid = mp.bsdf_id
+    won = vm.normalize(wo)
+    cos_o = vm.dot(won, n)
+    cos_i = vm.dot(vm.normalize(wi_view), n)
+    same_side = (cos_o * cos_i) > 0.0
+    abs_cos = jnp.maximum(jnp.abs(cos_o), vm.EPS)
+
+    f = jnp.zeros_like(mp.diffuse)
+    pdf = jnp.zeros((wo.shape[0],), jnp.float32)
+
+    lamb = bid == BSDF_LAMBERT
+    m = lamb & same_side
+    f = jnp.where(m[:, None], mp.diffuse / jnp.pi, f)
+    pdf = jnp.where(m, abs_cos / jnp.pi, pdf)
+
+    lamt = bid == BSDF_LAMBERT_TRANSMISSION
+    m = lamt & ~same_side
+    f = jnp.where(m[:, None], mp.volume / jnp.pi, f)
+    pdf = jnp.where(m, abs_cos / jnp.pi, pdf)
+
+    glos = (bid == BSDF_GLOSSY) & (mp.roughness > _DELTA_EPS)
+    nf = vm.faceforward(n, -wi_view, n)
+    reflected = vm.normalize(vm.reflect(vm.normalize(-wi_view), nf))
+    cos_max, inv_solid = _glossy_cone(mp)
+    in_cone = vm.dot(won, reflected) >= cos_max
+    m = glos & in_cone & same_side
+    f = jnp.where(m[:, None], mp.specular * (inv_solid / abs_cos)[:, None], f)
+    pdf = jnp.where(m, inv_solid, pdf)
+
+    # hair: evaluateLight form diffuse/pi (Bsdf.cpp:771-776), no pdf (delta)
+    hair = (bid == BSDF_MARSCHNER_HAIR) | (bid == BSDF_DEON_HAIR)
+    f = jnp.where((hair & same_side)[:, None], mp.diffuse / jnp.pi, f)
+    return f, pdf
+
+
+def sample_pdf(mp: MatParams, n, wi_view, wo) -> jnp.ndarray:
+    """Solid-angle pdf the sampler had for its OWN sampled `wo`; -1 marks a
+    delta sample (MIS weight 1 on a subsequent light hit)."""
+    _, pdf = eval_pdf(mp, n, wi_view, wo)
+    return jnp.where(is_delta(mp), -1.0, jnp.maximum(pdf, 1e-8))
+
+
 def evaluate_light(mp: MatParams, n, wi_light, wo_view) -> jnp.ndarray:
     """Branchless `evaluateLight` dispatch for NEE.
 

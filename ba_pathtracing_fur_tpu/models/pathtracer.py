@@ -48,6 +48,13 @@ class RenderConfig(NamedTuple):
     ray_chunk: int = 8192  # memory-capping analog of BufferSegmentation
     hair_p_random: bool = False  # False = always R path (Bsdf.cpp:669 parity)
     tonemap: bool = False
+    # MIS estimator (SURVEY §7 step 4 / BASELINE config 2): NEE in
+    # solid-angle measure + BSDF-hit light contributions combined by the
+    # power heuristic. NOT KIRK-parity — quad/point NEE uses the physical
+    # Le (the same radiance a BSDF path sees on hitting the light) and the
+    # uniform light pick is 1/N-compensated, so absolute brightness differs
+    # from the reference's un-normalized NEE (SimpleShader.h:101-152).
+    mis: bool = False
     # Firefly ceiling: the reference's hair lobes are unbounded in the
     # 1/cos^2(theta_d) tail (Bsdf.cpp:567,661) and can reach inf, which the
     # running-mean accumulator would turn into NaN. Throughput is clamped to
@@ -66,6 +73,8 @@ class RayState:
     color: jnp.ndarray  # [R,3] accumulated sample color
     flags: jnp.ndarray  # [R] int32 mat_flags
     theta_i: jnp.ndarray  # [R] hair shader stash (Bsdf.cpp:516)
+    prev_pdf: jnp.ndarray  # [R] solid-angle pdf of the last BSDF sample;
+    # -1 = delta/camera ray (MIS weight 1 on a light hit)
 
 
 def init_state(origins, directions) -> RayState:
@@ -77,6 +86,7 @@ def init_state(origins, directions) -> RayState:
         color=jnp.zeros((r, 3), jnp.float32),
         flags=jnp.zeros((r,), jnp.int32),
         theta_i=jnp.zeros((r,), jnp.float32),
+        prev_pdf=jnp.full((r,), -1.0, jnp.float32),
     )
 
 
@@ -122,6 +132,19 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     # --- LightShader (LightShader.h:20-26)
     if n_lights:
         lrad = shading.light_emitted_radiance(scene.lights, light_idx, state.direction)
+        if cfg.mis:
+            # power-heuristic weight vs. the NEE strategy that could have
+            # produced this same light contribution
+            from ..scene.types import LIGHT_POINT, LIGHT_QUAD
+            p_b = state.prev_pdf
+            delta = p_b <= 0.0
+            p_l = shading.light_solid_angle_pdf(
+                scene.lights, light_idx, state.direction, t_light)
+            kind = scene.lights.kind[light_idx]
+            area_like = (kind == LIGHT_QUAD) | (kind == LIGHT_POINT)
+            w = jnp.where(delta, 1.0,
+                jnp.where(area_like, shading.power_heuristic(p_b, p_l), 0.0))
+            lrad = lrad * w[:, None]
         color = color + jnp.where(hit_light[:, None], lrad * radiance, 0.0)
 
     radiance = jnp.where((miss | hit_light)[:, None], 0.0, radiance)
@@ -150,9 +173,10 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     u_hairp = rng.bounce_uniform(keys, bounce, 1, tag=3)[:, 0]
 
     # shared NEE (both shaders use the identical calcDirectLight)
-    direct = shading.calc_direct_light(scene, mp, hit, state.direction, u_pick,
-                                       u_light, shadow_chunk=cfg.ray_chunk,
-                                       occlude_fn=occlude_fn)
+    nee = shading.calc_direct_light_mis if cfg.mis else shading.calc_direct_light
+    direct = nee(scene, mp, hit, state.direction, u_pick,
+                 u_light, shadow_chunk=cfg.ray_chunk,
+                 occlude_fn=occlude_fn)
     # ambient = env_ambient * evaluateLight(n, n) / pi (SimpleShader.h:47)
     ambient = scene.env.ambient * bsdf_mod.evaluate_light(mp, n, n, n) / jnp.pi
     accum = (direct + ambient) * radiance
@@ -217,8 +241,16 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
             jnp.where(continuing & ~is_hair, new_flags, state.flags))
     theta_i = jnp.where(hit_geom & is_hair, hs.theta_i, state.theta_i)
 
+    if cfg.mis:
+        spdf = bsdf_mod.sample_pdf(mp, n, counter, wo)
+        spdf = jnp.where(is_hair, -1.0, spdf)
+        prev_pdf = jnp.where(hit_geom, spdf, state.prev_pdf)
+    else:
+        prev_pdf = state.prev_pdf
+
     return RayState(origin=origin, direction=direction, radiance=radiance,
-                    color=color, flags=flags, theta_i=theta_i)
+                    color=color, flags=flags, theta_i=theta_i,
+                    prev_pdf=prev_pdf)
 
 
 def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key,

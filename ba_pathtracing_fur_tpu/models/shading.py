@@ -146,6 +146,97 @@ def environment_color(env: Environment, ray_dir):
     return env.texture[side, yi, xi]
 
 
+def quad_area(lights: LightPack, idx):
+    """Area of the quad light's bilinear patch, as two triangles
+    (Light.h:154-197 corner layout)."""
+    v = lights.verts[idx]
+    a1 = 0.5 * vm.length(vm.cross(v[:, 1] - v[:, 0], v[:, 3] - v[:, 0]))
+    a2 = 0.5 * vm.length(vm.cross(v[:, 1] - v[:, 2], v[:, 3] - v[:, 2]))
+    return jnp.maximum(a1 + a2, 1e-12)
+
+
+def light_solid_angle_pdf(lights: LightPack, idx, direction, dist):
+    """Solid-angle density of the NEE sampler producing `direction` toward
+    light `idx` at distance `dist`, INCLUDING the uniform 1/N light pick.
+
+    quad: area-uniform sample -> dist^2 / (A |cos theta_l|); point: the
+    radius-r sphere sample approximated by its disk cross-section
+    dist^2/(pi r^2); spot/sun: 0 (NEE-only strategies)."""
+    kind = lights.kind[idx]
+    d = vm.normalize(direction)
+    cos_l = jnp.abs(vm.dot(d, lights.direction[idx]))
+    p_quad = dist * dist / (quad_area(lights, idx) * jnp.maximum(cos_l, 1e-4))
+    r = jnp.maximum(lights.radius[idx], 1e-6)
+    p_point = dist * dist / (jnp.pi * r * r)
+    p = jnp.where(kind == LIGHT_QUAD, p_quad,
+        jnp.where(kind == LIGHT_POINT, p_point, 0.0))
+    return p / lights.count
+
+
+def power_heuristic(pf, pg):
+    """Veach power heuristic (beta=2)."""
+    pf2 = pf * pf
+    return pf2 / jnp.maximum(pf2 + pg * pg, 1e-20)
+
+
+def calc_direct_light_mis(
+    scene: DeviceScene,
+    mp: bsdf_mod.MatParams,
+    hit: bruteforce.Hit,
+    ray_dir,
+    u_pick,
+    u_light,
+    shadow_chunk: int = 8192,
+    occlude_fn=None,
+):
+    """MIS-mode NEE: light picked uniformly WITH 1/N compensation, quad/point
+    contributions in solid-angle measure weighted by the power heuristic
+    against the BSDF pdf; spot/sun keep the reference attenuation form at
+    weight 1 (their BSDF-hit twin contributes 0). The emitted radiance is
+    `light_emitted_radiance` — the SAME Le a BSDF path sees on hitting the
+    light, which is what makes the two strategies estimate one integral."""
+    lights = scene.lights
+    n_lights = lights.count
+    if n_lights == 0:
+        return jnp.zeros_like(hit.position)
+
+    idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
+    ls = sample_light_dir(lights, idx, hit.position, u_light)
+
+    origin0 = hit.position
+    direction = ls.target - origin0
+    dist = vm.length(direction)
+    wi = vm.normalize(direction)
+    offset_n = vm.faceforward(hit.normal, -wi, hit.normal)
+    origin = origin0 + 1e-4 * offset_n
+
+    le = light_emitted_radiance(lights, idx, wi)
+    f, bpdf = bsdf_mod.eval_pdf(mp, hit.normal, -vm.normalize(ray_dir), wi)
+    cos_x = jnp.abs(vm.dot(wi, hit.normal))
+
+    kind = lights.kind[idx]
+    area_like = (kind == LIGHT_QUAD) | (kind == LIGHT_POINT)
+    p_l = light_solid_angle_pdf(lights, idx, wi, dist)
+    w = power_heuristic(p_l, bpdf)
+    contrib_area = le * (cos_x * w / jnp.maximum(p_l, 1e-12))[:, None] * f
+    # spot/sun: reference form x N pick compensation
+    contrib_ref = lights.color[idx] * (ls.attenuation * cos_x)[:, None] * f * n_lights
+    contrib = jnp.where(area_like[:, None], contrib_area, contrib_ref)
+
+    t_max = dist * (1.0 - 1e-3)  # don't occlude against the target itself
+    if occlude_fn is None:
+        from ..ops import traverse
+        blocked = traverse.any_hit(origin, wi, scene, t_max, chunk=shadow_chunk)
+    else:
+        blocked = occlude_fn(origin, wi, scene, t_max)
+    t_l, valid_l = isect.light_hit_grid(origin, wi, lights)
+    other = jnp.arange(n_lights)[None, :] != idx[:, None]
+    blocked |= jnp.any(valid_l & other & (t_l < t_max[:, None]), axis=-1)
+
+    has_color = jnp.any(lights.color[idx] > 0.0, axis=-1)
+    return jnp.where((has_color & ~blocked)[:, None], contrib, 0.0)
+
+
 def calc_direct_light(
     scene: DeviceScene,
     mp: bsdf_mod.MatParams,
