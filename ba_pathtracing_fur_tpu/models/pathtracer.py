@@ -55,6 +55,12 @@ class RenderConfig(NamedTuple):
     # uniform light pick is 1/N-compensated, so absolute brightness differs
     # from the reference's un-normalized NEE (SimpleShader.h:101-152).
     mis: bool = False
+    # Russian roulette (SURVEY §7 step 4): replaces the reference's biased
+    # hard cutoff max(throughput) < 0.01 (SimpleShader.h:61-62) with an
+    # unbiased survival lottery from `rr_start` bounces on. A mid-fiber
+    # TT/TRT walk is never rouletted (SURVEY §7 hard part b).
+    rr: bool = False
+    rr_start: int = 2
     # Firefly ceiling: the reference's hair lobes are unbounded in the
     # 1/cos^2(theta_d) tail (Bsdf.cpp:567,661) and can reach inf, which the
     # running-mean accumulator would turn into NaN. Throughput is clamped to
@@ -197,7 +203,10 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
 
     # common cutoff (SimpleShader.h:61-62 / MarschnerHairShader.h:78)
     refl_zero = jnp.all(refl == 0.0, axis=-1)
-    weak = jnp.max(radiance, axis=-1) < 0.01
+    if cfg.rr:  # unbiased RR replaces the biased throughput cutoff
+        weak = jnp.zeros_like(refl_zero)
+    else:
+        weak = jnp.max(radiance, axis=-1) < 0.01
     kill = refl_zero | (pdf <= 1e-4) | weak
 
     emissive = (new_flags & MATFLAG_EMISSIVE_BOUNCE) != 0
@@ -228,6 +237,14 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     color = color + jnp.where(geom3, jnp.where(is_hair[:, None], hair_color, simple_color), 0.0)
     radiance = jnp.where(geom3, jnp.where(is_hair[:, None], hair_radiance, simple_radiance), radiance)
     radiance = jnp.minimum(radiance, cfg.clamp_throughput)
+
+    if cfg.rr:
+        u_rr = rng.bounce_uniform(keys, bounce, 1, tag=4)[:, 0]
+        q = jnp.clip(jnp.max(radiance, axis=-1), 0.05, 1.0)
+        do_rr = (bounce >= cfg.rr_start) & hit_geom & ~mid_walk
+        dead = do_rr & (u_rr >= q)
+        boost = jnp.where(do_rr & ~dead, 1.0 / q, 1.0)
+        radiance = jnp.where(dead[:, None], 0.0, radiance * boost[:, None])
 
     # continuing rays get the new ray; hair updates its ray even mid-walk
     continuing = hit_geom & ~kill & ~emissive
