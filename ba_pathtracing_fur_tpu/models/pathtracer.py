@@ -61,6 +61,13 @@ class RenderConfig(NamedTuple):
     # TT/TRT walk is never rouletted (SURVEY §7 hard part b).
     rr: bool = False
     rr_start: int = 2
+    # Bidirectional mode (sampling.is_bidirectional, pt_shade.compute:146):
+    # NEE is replaced by connections to a per-sample light-subpath buffer,
+    # plus the image-plane splat pass (shadeBDPTImagePlane).
+    bdpt: bool = False
+    bdpt_bounces: int = 3  # bounces_per_path
+    bdpt_samples_per_light: int = 8  # samples_per_light
+    bdpt_splat: bool = True
     # Firefly ceiling: the reference's hair lobes are unbounded in the
     # 1/cos^2(theta_d) tail (Bsdf.cpp:567,661) and can reach inf, which the
     # running-mean accumulator would turn into NaN. Throughput is clamped to
@@ -97,7 +104,7 @@ def init_state(origins, directions) -> RayState:
 
 
 def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderConfig,
-                 closest_fn=None, occlude_fn=None) -> RayState:
+                 closest_fn=None, occlude_fn=None, subpaths=None) -> RayState:
     """One wavefront bounce: trace + dispatch-shade (traceRays body).
 
     `closest_fn(o, d, scene)` / `occlude_fn(o, d, scene, t_max)` override the
@@ -178,11 +185,18 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     u_light = rng.bounce_uniform(keys, bounce, 2, tag=2)
     u_hairp = rng.bounce_uniform(keys, bounce, 1, tag=3)[:, 0]
 
-    # shared NEE (both shaders use the identical calcDirectLight)
-    nee = shading.calc_direct_light_mis if cfg.mis else shading.calc_direct_light
-    direct = nee(scene, mp, hit, state.direction, u_pick,
-                 u_light, shadow_chunk=cfg.ray_chunk,
-                 occlude_fn=occlude_fn)
+    # shared NEE (both shaders use the identical calcDirectLight); in BDPT
+    # mode the light-subpath connection replaces it (pt_shade.compute:146)
+    if cfg.bdpt and subpaths is not None:
+        from . import bdpt as bdpt_mod
+        direct = bdpt_mod.connect_eye_vertex(
+            scene, subpaths, u_light, hit.position, n, state.direction, mp,
+            bounce, ray_chunk=cfg.ray_chunk, occlude_fn=occlude_fn)
+    else:
+        nee = shading.calc_direct_light_mis if cfg.mis else shading.calc_direct_light
+        direct = nee(scene, mp, hit, state.direction, u_pick,
+                     u_light, shadow_chunk=cfg.ray_chunk,
+                     occlude_fn=occlude_fn)
     # ambient = env_ambient * evaluateLight(n, n) / pi (SimpleShader.h:47)
     ambient = scene.env.ambient * bsdf_mod.evaluate_light(mp, n, n, n) / jnp.pi
     accum = (direct + ambient) * radiance
@@ -286,11 +300,27 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
     o, d = cam_mod.rays_from_pixels(camera, px, py, jitter, dof_u)
     state = init_state(o, d)
 
+    subpaths = None
+    if cfg.bdpt and scene.lights.count:
+        from . import bdpt as bdpt_mod
+        sub_key = jax.random.fold_in(jax.random.fold_in(key, sample_idx), 0x1bb)
+        subpaths = bdpt_mod.build_light_subpaths(
+            scene, sub_key, cfg.bdpt_samples_per_light, cfg.bdpt_bounces,
+            ray_chunk=cfg.ray_chunk, occlude_fn=occlude_fn,
+            closest_fn=closest_fn)
+
     def body(b, st):
-        return trace_bounce(st, scene, keys, b, cfg, closest_fn, occlude_fn)
+        return trace_bounce(st, scene, keys, b, cfg, closest_fn, occlude_fn,
+                            subpaths)
 
     state = jax.lax.fori_loop(0, cfg.depth, body, state)
-    return state.color
+    color = state.color
+    if subpaths is not None and cfg.bdpt_splat:
+        from . import bdpt as bdpt_mod
+        color = color + bdpt_mod.splat_image_plane(
+            scene, camera, subpaths, pixel_ids, keys,
+            ray_chunk=cfg.ray_chunk, occlude_fn=occlude_fn)
+    return color
 
 
 def render_sample(scene: DeviceScene, camera: cam_mod.Camera, key, sample_idx,
