@@ -142,3 +142,29 @@ def log_bessel_i0(x):
     small = jnp.log(jnp.maximum(bessel_i0(jnp.minimum(ax, 12.0)), 1e-30))
     large = ax - 0.5 * jnp.log(jnp.maximum(2.0 * jnp.pi * ax, vm.EPS))
     return jnp.where(ax > 12.0, large, small)
+
+
+def poisson_disk_pattern(n: int, seed: int = 0, tries: int = 30):
+    """Blue-noise subpixel AA offsets in [0,1)^2 via dart throwing.
+
+    Host-side trace-time constant — the role of the reference's vendored
+    PoissonDiskGenerator (Simple_CPU_Raytracer.h:26, used for the
+    RTFLAG-gated Whitted AA patterns). Returns a float32 [n,2] numpy array;
+    deterministic in (n, seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pts: list = []
+    min_d2 = (0.75 / np.sqrt(max(n, 1))) ** 2
+    budget = tries
+    while len(pts) < n:
+        c = rng.random(2)
+        if all(((c - p) ** 2).sum() >= min_d2 for p in pts):
+            pts.append(c)
+            budget = tries
+        else:
+            budget -= 1
+            if budget <= 0:  # relax the radius rather than spin forever
+                min_d2 *= 0.8
+                budget = tries
+    return np.asarray(pts, np.float32)

@@ -68,6 +68,11 @@ class RenderConfig(NamedTuple):
     bdpt_bounces: int = 3  # bounces_per_path
     bdpt_samples_per_light: int = 8  # samples_per_light
     bdpt_splat: bool = True
+    # Samples rendered per wavefront launch (vmapped, then averaged). At
+    # small resolutions one sample's ray buffer under-fills the TPU
+    # (latency-bound); batching widens the launch to spp_batch * W * H lanes.
+    # Must divide spp; falls back to 1 otherwise.
+    spp_batch: int = 1
     # Firefly ceiling: the reference's hair lobes are unbounded in the
     # 1/cos^2(theta_d) tail (Bsdf.cpp:567,661) and can reach inf, which the
     # running-mean accumulator would turn into NaN. Throughput is clamped to
@@ -203,17 +208,23 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
 
     # surface BSDF sample
     bs = bsdf_mod.sample_surface(mp, counter, n, u_bsdf, state.flags)
-    # hair BSDF sample (automaton)
-    p_choice = (jnp.minimum((u_hairp * 3).astype(jnp.int32), 2)
-                if cfg.hair_p_random else jnp.zeros_like(state.flags))
-    hs = fur.sample_hair(mp, counter, n, hit.fiber_u, hit.fiber_v, hit.fiber_w,
-                         state.flags, p_choice)
-
-    is_hair = mp.shader_id == SHADER_MARSCHNER_HAIR
-    refl = jnp.where(is_hair[:, None], hs.reflectance, bs.reflectance)
-    wo = jnp.where(is_hair[:, None], hs.wo, bs.wo)
-    pdf = jnp.where(is_hair, hs.pdf, bs.pdf)
-    new_flags = jnp.where(is_hair, hs.flags, bs.flags)
+    if scene.has_hair:
+        # hair BSDF sample (automaton); compute-all-select against the
+        # surface sample — skipped entirely for fur-less scenes (static gate)
+        p_choice = (jnp.minimum((u_hairp * 3).astype(jnp.int32), 2)
+                    if cfg.hair_p_random else jnp.zeros_like(state.flags))
+        hs = fur.sample_hair(mp, counter, n, hit.fiber_u, hit.fiber_v,
+                             hit.fiber_w, state.flags, p_choice)
+        is_hair = mp.shader_id == SHADER_MARSCHNER_HAIR
+        refl = jnp.where(is_hair[:, None], hs.reflectance, bs.reflectance)
+        wo = jnp.where(is_hair[:, None], hs.wo, bs.wo)
+        pdf = jnp.where(is_hair, hs.pdf, bs.pdf)
+        new_flags = jnp.where(is_hair, hs.flags, bs.flags)
+        hs_theta_i = hs.theta_i
+    else:
+        is_hair = jnp.zeros_like(state.flags, bool)
+        refl, wo, pdf, new_flags = (bs.reflectance, bs.wo, bs.pdf, bs.flags)
+        hs_theta_i = state.theta_i
 
     # common cutoff (SimpleShader.h:61-62 / MarschnerHairShader.h:78)
     refl_zero = jnp.all(refl == 0.0, axis=-1)
@@ -245,7 +256,7 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     hair_radiance = jnp.where(
         mid_walk[:, None], radiance,
         jnp.where(kill[:, None], 0.0,
-                  radiance * 3.0 * refl * jnp.abs(jnp.cos(hs.theta_i))[:, None]))
+                  radiance * 3.0 * refl * jnp.abs(jnp.cos(hs_theta_i))[:, None]))
 
     geom3 = hit_geom[:, None]
     color = color + jnp.where(geom3, jnp.where(is_hair[:, None], hair_color, simple_color), 0.0)
@@ -270,7 +281,7 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     # hair shader always (bsdf->sample writes them by reference)
     flags = jnp.where(hit_geom & is_hair, new_flags,
             jnp.where(continuing & ~is_hair, new_flags, state.flags))
-    theta_i = jnp.where(hit_geom & is_hair, hs.theta_i, state.theta_i)
+    theta_i = jnp.where(hit_geom & is_hair, hs_theta_i, state.theta_i)
 
     if cfg.mis:
         spdf = bsdf_mod.sample_pdf(mp, n, counter, wo)
@@ -339,12 +350,21 @@ def render_image(scene: DeviceScene, camera: cam_mod.Camera, key,
 
     w, h = camera.resolution
     r = w * h
+    bsz = cfg.spp_batch if cfg.spp_batch > 1 and cfg.spp % cfg.spp_batch == 0 else 1
 
-    def body(i, acc):
-        c = render_sample(scene, camera, key, i, cfg)
-        return acc + (c - acc) / (i + 1.0)
+    if bsz == 1:
+        def body(i, acc):
+            c = render_sample(scene, camera, key, i, cfg)
+            return acc + (c - acc) / (i + 1.0)
+    else:
+        def body(i, acc):
+            cs = jax.vmap(
+                lambda s: render_sample(scene, camera, key, s, cfg)
+            )(i * bsz + jnp.arange(bsz))
+            return acc + (cs.mean(0) - acc) / (i + 1.0)
 
-    acc = jax.lax.fori_loop(0, cfg.spp, body, jnp.zeros((r, 3), jnp.float32))
+    acc = jax.lax.fori_loop(0, cfg.spp // bsz, body,
+                            jnp.zeros((r, 3), jnp.float32))
     img = acc.reshape(h, w, 3)
     if cfg.tonemap:
         from ..ops import tonemap

@@ -38,7 +38,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import camera as cam_mod, vecmath as vm
+from ..core import camera as cam_mod, sampling, vecmath as vm
 from ..scene.types import DeviceScene
 from ..ops import traverse
 from . import bsdf as bsdf_mod, fur, shading
@@ -55,6 +55,16 @@ class WhittedConfig(NamedTuple):
     shadows: bool = True
     reflections: bool = True  # RTFLAG_USE_REFLECTIONS
     refractions: bool = True  # RTFLAG_USE_REFRACTIONS
+    soft_shadows: bool = False  # RTFLAG_SOFT_SHADOWS: jittered shadow rays
+    #   toward light-sphere/area samples (Ray::jitterBy + randomized
+    #   calcLightdir, Light.cpp:127-159)
+    shadow_samples: int = 4  # visibility samples per light when soft
+    aa: str = "grid"  # subpixel pattern: "grid" | "poisson"
+    #   (PoissonDiskGenerator AA, Simple_CPU_Raytracer.h:26)
+    adaptive: bool = False  # adaptive supersampling: refine only pixels
+    #   whose luminance differs from a neighbor beyond the threshold
+    #   (Simple_CPU_Raytracer adaptive flag)
+    adaptive_threshold: float = 0.1
     ray_chunk: int = 16384
 
 
@@ -78,8 +88,10 @@ def _light_target_deterministic(lights, i, pos):
 
 
 def light_shading(scene: DeviceScene, pos, norm, uv, view, mp, diff_color,
-                  cfg: WhittedConfig):
-    """SimpleCPURaytracer::lightShading (:80-180), hard-shadow variant."""
+                  cfg: WhittedConfig, key=None):
+    """SimpleCPURaytracer::lightShading (:80-180). Hard shadows by default;
+    cfg.soft_shadows averages `shadow_samples` jittered visibility rays per
+    light (randomized calcLightdir + jitterBy semantics)."""
     lights = scene.lights
     color = scene.env.ambient * diff_color  # ambient part (:88)
     norm_view = _norm_view_flip(norm, view)
@@ -116,12 +128,34 @@ def light_shading(scene: DeviceScene, pos, norm, uv, view, mp, diff_color,
 
         if cfg.shadows:
             origin = pos + 1e-2 * norm_view
-            sdir = target - origin
-            blocked = traverse.any_hit(origin, sdir,
-                                       jax.lax.stop_gradient(scene),
-                                       jnp.ones(pos.shape[0]),
-                                       chunk=cfg.ray_chunk)
-            direct = jnp.where(blocked[:, None], 0.0, direct)
+            if cfg.soft_shadows and key is not None:
+                # average visibility over jittered light samples: point/spot
+                # jitter within the light sphere radius, quads within their
+                # equivalent-area radius, suns within an angular disk (the
+                # 1e16-distant target scaled accordingly).
+                ns = max(1, cfg.shadow_samples)
+                scale = jnp.where(kind == 3, 1e14, 1.0) * \
+                    jnp.maximum(lights.radius[i], 1e-3)
+                lkey = jax.random.fold_in(key, i)
+                vis = jnp.zeros((pos.shape[0],), jnp.float32)
+                for s in range(ns):
+                    u = jax.random.uniform(jax.random.fold_in(lkey, s),
+                                           (pos.shape[0], 3))
+                    sphere = sampling.uniform_sphere_sample(u[:, :2]) \
+                        * (u[:, 2:] ** (1.0 / 3.0))
+                    sdir = target + scale * sphere - origin
+                    blocked = traverse.any_hit(
+                        origin, sdir, jax.lax.stop_gradient(scene),
+                        jnp.ones(pos.shape[0]), chunk=cfg.ray_chunk)
+                    vis = vis + jnp.where(blocked, 0.0, 1.0 / ns)
+                direct = direct * vis[:, None]
+            else:
+                sdir = target - origin
+                blocked = traverse.any_hit(origin, sdir,
+                                           jax.lax.stop_gradient(scene),
+                                           jnp.ones(pos.shape[0]),
+                                           chunk=cfg.ray_chunk)
+                direct = jnp.where(blocked[:, None], 0.0, direct)
         color = color + direct
     return color
 

@@ -25,6 +25,7 @@ from . import mesh as mesh_mod
 from .types import (
     DeviceScene, Environment, empty_cone_pack, empty_triangle_pack,
     make_cone_pack, make_light_pack, make_material_table, make_triangle_pack,
+    scene_has_hair,
 )
 
 EMPTY, MESH, LIGHT, CAMERA = "empty", "mesh", "light", "camera"
@@ -297,9 +298,11 @@ def flatten(graph: SceneGraph, fiber_as_cylinder: bool = True,
         texture=env_cfg.get("texture"),
     )
 
+    mat_table = make_material_table(materials)
     scene = DeviceScene(tris=tris, cones=cones,
-                        materials=make_material_table(materials),
-                        lights=make_light_pack(lights), env=env)
+                        materials=mat_table,
+                        lights=make_light_pack(lights), env=env,
+                        has_hair=scene_has_hair(mat_table))
 
     cam = None
     if graph.active_camera is not None:

@@ -207,6 +207,17 @@ class DeviceScene:
     textures: Optional[jnp.ndarray] = None  # [NT,TH,TW,3] atlas, or None
     tri_bvh: Optional["object"] = None  # ops.bvh.BVH over triangles
     cone_bvh: Optional["object"] = None  # ops.bvh.BVH over cones
+    # static: any material routes to the hair shader? False lets the bounce
+    # loop skip the Marschner/d'Eon automaton entirely (it is compute-all-
+    # select otherwise — pure waste in fur-less scenes). True is always safe.
+    has_hair: bool = struct.field(pytree_node=False, default=True)
+
+
+def scene_has_hair(materials: "MaterialTable") -> bool:
+    """Host-side check for the DeviceScene.has_hair static (call at build
+    time, outside jit)."""
+    import numpy as _np
+    return bool(_np.any(_np.asarray(materials.shader_id) == SHADER_MARSCHNER_HAIR))
 
 
 # ---------------------------------------------------------------------------
