@@ -56,10 +56,12 @@ def cmd_render(args) -> int:
     from .utils import clock as clock_mod, film, log
 
     scene, camera = _build_scene(args)
-    if args.bvh:
+    build_time = None
+    if args.accel != "none":
         build_clock = clock_mod.Clock()
-        scene = traverse.attach_bvh(scene)
-        log.log_info("accel build: %s", round(build_clock.elapsed(), 3))
+        scene = traverse.attach_bvh(scene, method=args.accel)
+        build_time = round(build_clock.elapsed(), 3)
+        log.log_info("accel build (%): %s", args.accel, build_time)
 
     w, h = camera.resolution
     if args.engine == "whitted":
@@ -89,6 +91,32 @@ def cmd_render(args) -> int:
     else:
         film.write_png(args.output, img)
     log.log_info("wrote %", args.output)
+
+    if args.report:
+        from .utils.report import RenderReport
+        rep = RenderReport(title=f"{args.scene} — {args.engine}")
+        rep.add_image("render", img, gamma=1.0 if args.tonemap else 2.2)
+        rep.add_panel("render settings", {
+            "scene": args.scene, "engine": args.engine,
+            "resolution": f"{w}×{h}", "samples": args.samples,
+            "depth": args.depth, "accel": args.accel, "seed": args.seed,
+            "tonemap": args.tonemap,
+        })
+        if scene.tri_bvh is not None or scene.cone_bvh is not None:
+            from .ops import bvh as bvh_mod, visualize
+            for name, b in (("triangles", scene.tri_bvh),
+                            ("cones", scene.cone_bvh)):
+                if b is None:
+                    continue
+                info = bvh_mod.debug_info(b)
+                if build_time is not None:
+                    info["build_s"] = build_time
+                rep.add_panel(f"accel structure ({name})", info)
+                rep.add_image(f"structure overlay ({name})",
+                              np.asarray(visualize.visualize_structure(
+                                  b, camera, base_image=jax.numpy.asarray(img))))
+        rep.write(args.report)
+        log.log_info("wrote %", args.report)
     return 0
 
 
@@ -121,8 +149,12 @@ def main(argv=None) -> int:
     r.add_argument("--hair-lobes", choices=("r", "all"), default="r")
     r.add_argument("--supersamples", type=int, default=1)
     r.add_argument("--fur", default=None, help="N,V,R fur growth for json scenes")
-    r.add_argument("--bvh", action=argparse.BooleanOptionalAction, default=True)
+    r.add_argument("--accel", default="median",
+                   choices=("sah", "median", "morton", "grid", "none"),
+                   help="accel structure (Demo/main.cpp:94-127 swap analog)")
     r.add_argument("--tonemap", action="store_true")
+    r.add_argument("--report", default=None,
+                   help="write an HTML render report (GUI analog)")
     r.add_argument("--ray-chunk", type=int, default=65536)
     r.add_argument("--seed", type=int, default=0)
     r.set_defaults(fn=cmd_render)

@@ -217,7 +217,12 @@ def build_median(prim_bmin, prim_bmax, leaf_size: int = 256) -> BVH:
         if cnt > leaf_size:
             raise AssertionError("median split produced oversized leaf")
         perm[li * leaf_size: li * leaf_size + cnt] = order[s:e]
+    return _finalize_host(perm, bmin, bmax, n_leaves, leaf_size)
 
+
+def _finalize_host(perm, bmin, bmax, n_leaves, leaf_size) -> BVH:
+    """Shared tail of the host-side builders: leaf AABB reduction over the
+    slot permutation + bottom-up level concatenation into heap order."""
     keep = perm >= 0
     safe = np.maximum(perm, 0)
     sbmin = np.where(keep[:, None], bmin[safe], np.float32(BIG))
@@ -233,6 +238,127 @@ def build_median(prim_bmin, prim_bmax, leaf_size: int = 256) -> BVH:
                bmax=jnp.concatenate(levels_max, 0),
                perm=jnp.asarray(perm.astype(np.int32)), packed=None,
                n_leaves=n_leaves, leaf_size=leaf_size)
+
+
+def build_sah(prim_bmin, prim_bmax, leaf_size: int = 256,
+              n_bins: int = 16) -> BVH:
+    """Host-side capacity-clamped binned-SAH build.
+
+    The same 16-bin surface-area-heuristic split family as KIRK's CPU BVH
+    (CPU_BVH.cpp:357-461: per-axis centroid bins, incremental left/right
+    AABB sweeps, SA_L·N_L + SA_R·N_R cost) and the GPU builder
+    (bvh_constructSAH.compute), constrained so each side fits its implicit
+    subtree's slot capacity (this container is a complete tree — see BVH).
+    Falls back to the median plane when no binned plane satisfies the
+    capacity clamp.
+    """
+    bmin = np.asarray(prim_bmin, np.float32)
+    bmax = np.asarray(prim_bmax, np.float32)
+    n = bmin.shape[0]
+    cent = 0.5 * (bmin + bmax)
+    n_leaves = _next_pow2(max(-(-n // leaf_size), 1))
+    n_slots = n_leaves * leaf_size
+
+    order = np.arange(n)
+    bounds = [0, n]
+    n_levels = n_leaves.bit_length() - 1
+    for level in range(n_levels):
+        cap = (n_leaves >> (level + 1)) * leaf_size  # slots per child subtree
+        new_bounds = [0]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = order[s:e]
+            cnt = e - s
+            if cnt <= 1:
+                new_bounds.extend([s + (cnt + 1) // 2, e])
+                continue
+            c = cent[seg]
+            k_lo, k_hi = max(cnt - cap, 0), min(cnt, cap)
+            k = best = None
+            clo, chi = c.min(axis=0), c.max(axis=0)
+            for axis in range(3):
+                ext = chi[axis] - clo[axis]
+                if ext <= 0.0:
+                    continue
+                # bin prims by centroid; sweep prefix/suffix bin AABBs
+                b = np.minimum((c[:, axis] - clo[axis]) / ext * n_bins,
+                               n_bins - 1).astype(np.int64)
+                counts = np.bincount(b, minlength=n_bins)
+                bb_lo = np.full((n_bins, 3), np.float32(BIG))
+                bb_hi = np.full((n_bins, 3), np.float32(-BIG))
+                np.minimum.at(bb_lo, b, bmin[seg])
+                np.maximum.at(bb_hi, b, bmax[seg])
+                # prefix (left) and suffix (right) running unions
+                lmin = np.minimum.accumulate(bb_lo, axis=0)
+                lmax = np.maximum.accumulate(bb_hi, axis=0)
+                rmin = np.minimum.accumulate(bb_lo[::-1], axis=0)[::-1]
+                rmax = np.maximum.accumulate(bb_hi[::-1], axis=0)[::-1]
+                n_l = np.cumsum(counts)[:-1]  # plane after bin i
+                n_r = cnt - n_l
+
+                def area(lo, hi):
+                    d = np.maximum(hi - lo, 0.0)
+                    return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+                cost = (area(lmin[:-1], lmax[:-1]) * n_l
+                        + area(rmin[1:], rmax[1:]) * n_r)
+                ok = (n_l >= k_lo) & (n_l <= k_hi)
+                if not ok.any():
+                    continue
+                cost = np.where(ok, cost, np.inf)
+                i = int(np.argmin(cost))
+                if best is None or cost[i] < best:
+                    best = cost[i]
+                    k = int(n_l[i])
+                    side = (b > i).astype(np.int8)
+            if k is None:  # degenerate extent / no clamped plane: median
+                axis = int(np.argmax(chi - clo))
+                k = min(max((cnt + 1) // 2, k_lo), k_hi)
+                part = np.argpartition(c[:, axis], min(k, cnt - 1))
+                order[s:e] = seg[part]
+            else:
+                order[s:e] = seg[np.argsort(side, kind="stable")]
+            new_bounds.extend([s + k, e])
+        bounds = new_bounds
+
+    perm = np.full((n_slots,), -1, np.int64)
+    for li, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        cnt = e - s
+        if cnt > leaf_size:
+            raise AssertionError("SAH split produced oversized leaf")
+        perm[li * leaf_size: li * leaf_size + cnt] = order[s:e]
+    return _finalize_host(perm, bmin, bmax, n_leaves, leaf_size)
+
+
+def build_grid(prim_bmin, prim_bmax, leaf_size: int = 256,
+               resolution: int | None = None) -> BVH:
+    """Host-side uniform-grid clustering (UniformGrid.h:12-50 analog).
+
+    Primitives are binned by centroid into a G³ raster of cells and packed
+    into fixed-size clusters in cell order; cluster AABBs are the tight
+    bounds of their contents. The 3D-DDA cell walk of the reference becomes
+    the same near-to-far entry-distance sweep every clustering here uses —
+    on a wavefront machine, sorting cluster entry distances IS the DDA,
+    amortized over all rays (see `traverse`).
+    """
+    bmin = np.asarray(prim_bmin, np.float32)
+    bmax = np.asarray(prim_bmax, np.float32)
+    n = bmin.shape[0]
+    cent = 0.5 * (bmin + bmax)
+    n_leaves = _next_pow2(max(-(-n // leaf_size), 1))
+    n_slots = n_leaves * leaf_size
+    if resolution is None:
+        resolution = max(int(np.ceil((n / max(leaf_size, 1)) ** (1.0 / 3.0))), 1)
+    g = int(resolution)
+
+    lo = cent.min(axis=0)
+    extent = np.maximum(cent.max(axis=0) - lo, 1e-12)
+    ijk = np.minimum((cent - lo) / extent * g, g - 1).astype(np.int64)
+    cell = (ijk[:, 0] * g + ijk[:, 1]) * g + ijk[:, 2]
+    order = np.argsort(cell, kind="stable")
+
+    perm = np.full((n_slots,), -1, np.int64)
+    perm[:n] = order
+    return _finalize_host(perm, bmin, bmax, n_leaves, leaf_size)
 
 
 def reorder_tris(tris: TrianglePack, bvh: BVH) -> TrianglePack:
@@ -264,6 +390,35 @@ def reorder_cones(cones: ConePack, bvh: BVH) -> ConePack:
         min_d=jnp.where(keep, out.min_d, 1.0),
         max_d=jnp.where(keep, out.max_d, -1.0),
     )
+
+
+def debug_info(bvh: BVH) -> dict:
+    """Structure statistics — TreeAccel::printDebugInfo analog
+    (TreeAccel.h:80-86: node/leaf/depth counts) plus the quality metrics
+    that actually predict traversal cost here: total SAH cost
+    (Σ leaf_area·leaf_count / root_area) and occupancy."""
+    n_leaves, k = bvh.n_leaves, bvh.leaf_size
+    leaf_base = n_leaves - 1
+    lo = np.asarray(bvh.bmin)
+    hi = np.asarray(bvh.bmax)
+    perm = np.asarray(bvh.perm).reshape(n_leaves, k)
+    counts = (perm >= 0).sum(axis=1)
+
+    def area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+    leaf_area = area(lo[leaf_base:], hi[leaf_base:])
+    root_area = float(area(lo[:1], hi[:1])[0])
+    return {
+        "n_nodes": int(2 * n_leaves - 1),
+        "n_leaves": int(n_leaves),
+        "leaf_size": int(k),
+        "depth": bvh.depth,
+        "n_prims": int(counts.sum()),
+        "occupancy": float(counts.mean() / k),
+        "sah_cost": float((leaf_area * counts).sum() / max(root_area, 1e-30)),
+    }
 
 
 # ---------------------------------------------------------------------------

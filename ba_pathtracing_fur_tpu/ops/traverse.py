@@ -20,17 +20,40 @@ from . import bruteforce, bvh as bvh_mod, intersect as isect
 INF = isect.INF
 
 
+#: Accel-structure registry — the runtime-switchable family of the
+#: reference (Demo/main.cpp:94-127 swaps BVH/KD/Octree/UniformGrid/
+#: NoDataStructure at runtime). Every entry is a *clustering policy*
+#: feeding the same culled-cluster traversal; "none" (no BVH attached)
+#: is the NoDataStructure brute-force oracle.
+#:   sah    — capacity-clamped binned SAH (CPU_BVH.cpp:357-461 family)
+#:   median — longest-axis object-median splits (the KD-tree analog:
+#:            CPU_KD.h:15-60's plane-split recursion as object partition)
+#:   morton — on-device morton clustering = a linearized octree (each
+#:            cluster is a contiguous octant range; Octree.h:11 analog),
+#:            jit-friendly for dynamic geometry
+#:   grid   — uniform-grid cell binning (UniformGrid.h:12-50 analog)
+ACCEL_BUILDERS = {
+    "sah": bvh_mod.build_sah,
+    "median": bvh_mod.build_median,
+    "morton": bvh_mod.build,
+    "grid": bvh_mod.build_grid,
+}
+
+
 def attach_bvh(scene: DeviceScene, leaf_size: int = 256,
                method: str = "median", min_prims: int = 2048) -> DeviceScene:
     """Build LBVHs over the primitive packs and reorder the packs so leaf
     clusters are contiguous.
 
-    method="median" (host-side numpy, compact clusters — best quality) or
-    "morton" (on-device, jit-friendly, for dynamic geometry). Packs smaller
+    method: one of ACCEL_BUILDERS ("sah"/"median" host-side numpy — best
+    quality; "morton" on-device, jit-friendly, for dynamic geometry;
+    "grid" uniform-grid cells) or "none" for brute force. Packs smaller
     than `min_prims` are left alone — the dense all-pairs grid beats cluster
     traversal below that size, and closest_hit mixes the two per pack.
     """
-    build = bvh_mod.build_median if method == "median" else bvh_mod.build
+    if method == "none":
+        return scene
+    build = ACCEL_BUILDERS[method]
     tris, cones = scene.tris, scene.cones
     tri_bvh = cone_bvh = None
     if tris.count >= min_prims:

@@ -82,6 +82,8 @@ def scene_partition_specs(scene: DeviceScene, geo_axis: str = GEO_AXIS):
         textures=None if scene.textures is None else P(),
         tri_bvh=None if scene.tri_bvh is None else repl(scene.tri_bvh),
         cone_bvh=None if scene.cone_bvh is None else repl(scene.cone_bvh),
+        # static metadata must match the scene's treedef exactly
+        has_hair=scene.has_hair,
     )
 
 

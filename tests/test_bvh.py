@@ -93,3 +93,44 @@ def test_bvh_render_fur_matches_bruteforce_image():
     acc = traverse.attach_bvh(scene, min_prims=1)
     got = render_image(acc, camera, key, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+@pytest.mark.parametrize("method", ["sah", "median", "morton", "grid"])
+def test_accel_family_matches_bruteforce(method):
+    """Every clustering policy in the accel registry (SAH/KD-median/
+    linear-octree-morton/uniform-grid — the Demo/main.cpp:94-127 swap set)
+    returns the exact brute-force nearest hit."""
+    scene, _ = fur_patch(resolution=(8, 8), fibers_per_face=4, fiber_verts=4,
+                         fiber_radius=0.02)
+    acc = traverse.attach_bvh(scene, leaf_size=8, method=method, min_prims=1)
+    o, d = _random_rays(512, 7, lo=-1.5, hi=1.5,
+                        aim=((-0.4, 0.0, -0.4), (0.4, 0.12, 0.4)))
+    ref = bruteforce.closest_hit(o, d, scene)
+    got = traverse.closest_hit_bvh(o, d, acc)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_accel_debug_info():
+    from ba_pathtracing_fur_tpu.ops import bvh as bvh_mod
+
+    scene, _ = cornell_box(resolution=(8, 8))
+    acc = traverse.attach_bvh(scene, leaf_size=4, method="sah", min_prims=1)
+    info = bvh_mod.debug_info(acc.tri_bvh)
+    assert info["n_nodes"] == 2 * info["n_leaves"] - 1
+    assert info["n_prims"] == scene.tris.count
+    assert 0.0 < info["occupancy"] <= 1.0
+    assert info["sah_cost"] > 0.0
+
+
+def test_sah_beats_or_matches_morton_cost():
+    """SAH clusters should not be worse than raw morton clusters on the
+    quality metric that predicts traversal rounds."""
+    from ba_pathtracing_fur_tpu.ops import bvh as bvh_mod
+    from ba_pathtracing_fur_tpu.ops.intersect import cone_aabbs
+
+    scene, _ = fur_patch(resolution=(8, 8), fibers_per_face=8, fiber_verts=5)
+    bmin, bmax = cone_aabbs(scene.cones)
+    sah = bvh_mod.debug_info(bvh_mod.build_sah(bmin, bmax, leaf_size=16))
+    mor = bvh_mod.debug_info(bvh_mod.build(bmin, bmax, leaf_size=16))
+    assert sah["sah_cost"] <= mor["sah_cost"] * 1.05
