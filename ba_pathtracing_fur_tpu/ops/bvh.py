@@ -427,11 +427,15 @@ def debug_info(bvh: BVH) -> dict:
 
 def _slab_grid(o, inv_d, bmin, bmax, t_max):
     """Dense all-pairs slab test. o/inv_d [R,3], boxes [C,3] -> t_near [R,C]
-    with INF where missed. Pure VPU broadcast work — no gathers."""
-    t0 = (bmin[None] - o[:, None]) * inv_d[:, None]
-    t1 = (bmax[None] - o[:, None]) * inv_d[:, None]
-    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    with INF where missed. Pure VPU broadcast work — no gathers; per-axis
+    [R,C] math (an [R,C,3] layout would waste 125/128 VPU lanes)."""
+    tnear = jnp.full((o.shape[0], bmin.shape[0]), -INF)
+    tfar = jnp.full((o.shape[0], bmin.shape[0]), INF)
+    for a in range(3):
+        t0 = (bmin[None, :, a] - o[:, a:a + 1]) * inv_d[:, a:a + 1]
+        t1 = (bmax[None, :, a] - o[:, a:a + 1]) * inv_d[:, a:a + 1]
+        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
     hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear < t_max[:, None])
     return jnp.where(hit, tnear, INF)
 

