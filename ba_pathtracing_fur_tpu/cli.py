@@ -62,6 +62,8 @@ def cmd_render(args) -> int:
         scene = traverse.attach_bvh(scene, method=args.accel)
         build_time = round(build_clock.elapsed(), 3)
         log.log_info("accel build (%): %s", args.accel, build_time)
+    from .scene.types import to_device
+    scene = to_device(scene)  # one batched host->HBM transfer
 
     w, h = camera.resolution
     if args.engine == "whitted":
@@ -110,11 +112,16 @@ def cmd_render(args) -> int:
                     continue
                 info = bvh_mod.debug_info(b)
                 if build_time is not None:
-                    info["build_s"] = build_time
+                    # combined wall time of ALL builds in attach_bvh, not a
+                    # per-structure metric (ADVICE r1)
+                    info["total_build_s"] = build_time
                 rep.add_panel(f"accel structure ({name})", info)
+                # the overlay blends onto the already display-encoded render,
+                # so it must use the same gamma as the render image (ADVICE r1)
                 rep.add_image(f"structure overlay ({name})",
                               np.asarray(visualize.visualize_structure(
-                                  b, camera, base_image=jax.numpy.asarray(img))))
+                                  b, camera, base_image=jax.numpy.asarray(img))),
+                              gamma=1.0 if args.tonemap else 2.2)
         rep.write(args.report)
         log.log_info("wrote %", args.report)
     return 0

@@ -68,6 +68,11 @@ class RenderConfig(NamedTuple):
     bdpt_bounces: int = 3  # bounces_per_path
     bdpt_samples_per_light: int = 8  # samples_per_light
     bdpt_splat: bool = True
+    # Stream compaction (pt_sortHits.compute:17-39 analog): permute the
+    # wavefront each bounce so live rays are contiguous; whole-dead chunks
+    # then skip intersection entirely (ops/compact.py + n_alive gating).
+    # Exact — per-lane computation and RNG travel with the ray.
+    compact: bool = True
     # Samples rendered per wavefront launch (vmapped, then averaged). At
     # small resolutions one sample's ray buffer under-fills the TPU
     # (latency-bound); batching widens the launch to spp_batch * W * H lanes.
@@ -109,7 +114,8 @@ def init_state(origins, directions) -> RayState:
 
 
 def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderConfig,
-                 closest_fn=None, occlude_fn=None, subpaths=None) -> RayState:
+                 closest_fn=None, occlude_fn=None, subpaths=None,
+                 n_alive=None) -> RayState:
     """One wavefront bounce: trace + dispatch-shade (traceRays body).
 
     `closest_fn(o, d, scene)` / `occlude_fn(o, d, scene, t_max)` override the
@@ -119,9 +125,12 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     active = jnp.any(state.radiance != 0.0, axis=-1)
     has_dir = jnp.any(state.direction != 0.0, axis=-1)
     do_trace = active & has_dir
+    t_cap = jnp.where(do_trace, isect.INF, 0.0)  # dead lanes trace nothing
 
     if closest_fn is None:
-        hit = traverse.closest_hit(state.origin, state.direction, scene, chunk=cfg.ray_chunk)
+        hit = traverse.closest_hit(state.origin, state.direction, scene,
+                                   t_max=t_cap, chunk=cfg.ray_chunk,
+                                   n_alive=n_alive)
     else:
         hit = closest_fn(state.origin, state.direction, scene)
 
@@ -201,7 +210,7 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
         nee = shading.calc_direct_light_mis if cfg.mis else shading.calc_direct_light
         direct = nee(scene, mp, hit, state.direction, u_pick,
                      u_light, shadow_chunk=cfg.ray_chunk,
-                     occlude_fn=occlude_fn)
+                     occlude_fn=occlude_fn, active=hit_geom, n_alive=n_alive)
     # ambient = env_ambient * evaluateLight(n, n) / pi (SimpleShader.h:47)
     ambient = scene.env.ambient * bsdf_mod.evaluate_light(mp, n, n, n) / jnp.pi
     accum = (direct + ambient) * radiance
@@ -302,6 +311,8 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
     color [len(ids),3]. This is the shardable unit: RNG keys depend on the
     global id, so any partition of the image across devices renders
     bit-identically to the single-device pass."""
+    from ..scene.types import ensure_device
+    scene = ensure_device(scene)
     w, _ = camera.resolution
     px = (pixel_ids % w).astype(jnp.float32)
     py = (pixel_ids // w).astype(jnp.float32)
@@ -320,12 +331,29 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
             ray_chunk=cfg.ray_chunk, occlude_fn=occlude_fn,
             closest_fn=closest_fn)
 
-    def body(b, st):
-        return trace_bounce(st, scene, keys, b, cfg, closest_fn, occlude_fn,
-                            subpaths)
+    if cfg.compact:
+        from ..ops import compact as compact_mod
 
-    state = jax.lax.fori_loop(0, cfg.depth, body, state)
-    color = state.color
+        def body(b, carry):
+            st, ks, slot, n_alive = carry
+            st = trace_bounce(st, scene, ks, b, cfg, closest_fn, occlude_fn,
+                              subpaths, n_alive=n_alive)
+            alive = jnp.any(st.radiance != 0.0, axis=-1)
+            perm, n_alive = compact_mod.compaction_permutation(alive)
+            st = compact_mod.gather_pytree(st, perm)
+            return st, ks[perm], slot[perm], n_alive
+
+        r = state.origin.shape[0]
+        carry = (state, keys, jnp.arange(r, dtype=jnp.int32), jnp.int32(r))
+        state, _, slot, _ = jax.lax.fori_loop(0, cfg.depth, body, carry)
+        color = jnp.zeros_like(state.color).at[slot].set(state.color)
+    else:
+        def body(b, st):
+            return trace_bounce(st, scene, keys, b, cfg, closest_fn,
+                                occlude_fn, subpaths)
+
+        state = jax.lax.fori_loop(0, cfg.depth, body, state)
+        color = state.color
     if subpaths is not None and cfg.bdpt_splat:
         from . import bdpt as bdpt_mod
         color = color + bdpt_mod.splat_image_plane(

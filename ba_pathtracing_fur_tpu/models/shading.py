@@ -188,6 +188,8 @@ def calc_direct_light_mis(
     u_light,
     shadow_chunk: int = 8192,
     occlude_fn=None,
+    active=None,
+    n_alive=None,
 ):
     """MIS-mode NEE: light picked uniformly WITH 1/N compensation, quad/point
     contributions in solid-angle measure weighted by the power heuristic
@@ -224,9 +226,12 @@ def calc_direct_light_mis(
     contrib = jnp.where(area_like[:, None], contrib_area, contrib_ref)
 
     t_max = dist * (1.0 - 1e-3)  # don't occlude against the target itself
+    if active is not None:  # dead/non-geometry lanes: zero-length shadow ray
+        t_max = jnp.where(active, t_max, 0.0)
     if occlude_fn is None:
         from ..ops import traverse
-        blocked = traverse.any_hit(origin, wi, scene, t_max, chunk=shadow_chunk)
+        blocked = traverse.any_hit(origin, wi, scene, t_max,
+                                   chunk=shadow_chunk, n_alive=n_alive)
     else:
         blocked = occlude_fn(origin, wi, scene, t_max)
     t_l, valid_l = isect.light_hit_grid(origin, wi, lights)
@@ -246,6 +251,9 @@ def calc_direct_light(
     u_light,  # [R,2] uniforms for the light-sample point
     shadow_chunk: int = 8192,
     occlude_fn=None,  # (o, d, scene, t_max) -> blocked [R]; default brute force
+    active=None,  # [R] bool: lanes that actually shade (dead lanes get a
+    # zero-length shadow ray — free under the compacted-wavefront gating)
+    n_alive=None,
 ):
     """SimpleShader::calcDirectLight, vectorized (SimpleShader.h:101-152).
 
@@ -274,9 +282,12 @@ def calc_direct_light(
     contrib = light_color * ls.attenuation[:, None] * f * jnp.abs(vm.dot(wi, hit.normal))[:, None]
 
     t_max = vm.length(lightpos - origin)
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
     if occlude_fn is None:
         from ..ops import traverse
-        blocked = traverse.any_hit(origin, wi, scene, t_max, chunk=shadow_chunk)
+        blocked = traverse.any_hit(origin, wi, scene, t_max,
+                                   chunk=shadow_chunk, n_alive=n_alive)
     else:
         blocked = occlude_fn(origin, wi, scene, t_max)
     # light geometry also occludes (SimpleShader.h:135-144)

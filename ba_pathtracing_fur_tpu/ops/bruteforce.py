@@ -59,18 +59,21 @@ def _nearest_over_grid(t_grid):
 def _closest_chunk(o, d, scene: DeviceScene, t_min, t_max):
     tris, cones = scene.tris, scene.cones
     r = o.shape[0]
+    # per-ray t_max support (dead-lane capping): grids compare [R, P] < cap
+    t_max = jnp.asarray(t_max, jnp.float32)
+    cap = t_max[:, None] if t_max.ndim == 1 else t_max
 
     t_tri = jnp.full((r,), INF)
     tri_id = jnp.zeros((r,), jnp.int32)
     if tris.count:
-        tg, _, _, _ = isect.triangle_hit_grid(o, d, tris, t_min, t_max)
+        tg, _, _, _ = isect.triangle_hit_grid(o, d, tris, t_min, cap)
         t_tri, tri_id = _nearest_over_grid(tg)
 
     t_cone = jnp.full((r,), INF)
     cone_id = jnp.zeros((r,), jnp.int32)
     enter_all = jnp.zeros((r,), bool)
     if cones.count:
-        cg, enter_g, _ = isect.cone_hit_grid(o, d, cones, t_min, t_max)
+        cg, enter_g, _ = isect.cone_hit_grid(o, d, cones, t_min, cap)
         t_cone, cone_id = _nearest_over_grid(cg)
         enter_all = jnp.take_along_axis(enter_g, cone_id[:, None], axis=-1)[:, 0]
 
@@ -116,19 +119,51 @@ def _closest_chunk(o, d, scene: DeviceScene, t_min, t_max):
     )
 
 
-def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF, chunk: int = 8192) -> Hit:
+def _empty_hit(r: int) -> Hit:
+    z3 = jnp.zeros((r, 3), jnp.float32)
+    return Hit(t=jnp.full((r,), INF), valid=jnp.zeros((r,), bool),
+               prim_type=jnp.full((r,), PRIM_NONE, jnp.int32),
+               prim_id=jnp.zeros((r,), jnp.int32),
+               mat_id=jnp.zeros((r,), jnp.int32), position=z3, normal=z3,
+               uv=jnp.zeros((r, 2), jnp.float32),
+               enter=jnp.zeros((r,), bool), fiber_u=z3, fiber_v=z3,
+               fiber_w=z3)
+
+
+def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
+                chunk: int = 8192, n_alive=None) -> Hit:
     """Nearest scene hit for each ray. o, d: [R,3]; R is padded internally
     to a multiple of `chunk` and processed with lax.map to bound the live
-    [chunk, N_prims] grids."""
+    [chunk, N_prims] grids. t_max may be per-ray [R].
+
+    `n_alive` (traced scalar): with a compacted wavefront (live rays first —
+    ops.compact), chunks entirely past n_alive skip the intersection grid
+    via lax.cond — the pt_sortHits payoff (pt_sortHits.compute:17-39)."""
+    from ..scene.types import ensure_device
+    scene = ensure_device(scene)
     r = o.shape[0]
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     if r <= chunk:
-        return _closest_chunk(o, d, scene, t_min, t_max)
+        return _closest_chunk(o, d, scene, t_min, t_max_arr)
     pad = (-r) % chunk
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
     d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    t_p = jnp.pad(t_max_arr, (0, pad))
     o_c = o_p.reshape(-1, chunk, 3)
     d_c = d_p.reshape(-1, chunk, 3)
-    hits = jax.lax.map(lambda od: _closest_chunk(od[0], od[1], scene, t_min, t_max), (o_c, d_c))
+    t_c = t_p.reshape(-1, chunk)
+    starts = jnp.arange(o_c.shape[0], dtype=jnp.int32) * chunk
+
+    def one(args):
+        oo, dd, tt, start = args
+        if n_alive is None:
+            return _closest_chunk(oo, dd, scene, t_min, tt)
+        return jax.lax.cond(
+            start < n_alive,
+            lambda: _closest_chunk(oo, dd, scene, t_min, tt),
+            lambda: _empty_hit(chunk))
+
+    hits = jax.lax.map(one, (o_c, d_c, t_c, starts))
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:r], hits)
     return flat
 
@@ -145,10 +180,13 @@ def _any_chunk(o, d, scene: DeviceScene, t_min, t_max):
     return blocked
 
 
-def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192):
+def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192,
+            n_alive=None):
     """Shadow-ray occlusion: does any geometry lie within (t_min, t_max)?
     t_max: [R] per-ray. The accel-structure `isIntersection` analog
-    (CPU_DataStructure.h:14-30)."""
+    (CPU_DataStructure.h:14-30). `n_alive` as in closest_hit."""
+    from ..scene.types import ensure_device
+    scene = ensure_device(scene)
     r = o.shape[0]
     if r <= chunk:
         return _any_chunk(o, d, scene, t_min, t_max)
@@ -156,8 +194,20 @@ def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192):
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
     d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     t_p = jnp.pad(t_max, (0, pad))
+    starts = jnp.arange(-(-r // chunk), dtype=jnp.int32) * chunk
+
+    def one(odt):
+        oo, dd, tt, start = odt
+        if n_alive is None:
+            return _any_chunk(oo, dd, scene, t_min, tt)
+        return jax.lax.cond(
+            start < n_alive,
+            lambda: _any_chunk(oo, dd, scene, t_min, tt),
+            lambda: jnp.zeros((chunk,), bool))
+
     res = jax.lax.map(
-        lambda odt: _any_chunk(odt[0], odt[1], scene, t_min, odt[2]),
-        (o_p.reshape(-1, chunk, 3), d_p.reshape(-1, chunk, 3), t_p.reshape(-1, chunk)),
+        one,
+        (o_p.reshape(-1, chunk, 3), d_p.reshape(-1, chunk, 3),
+         t_p.reshape(-1, chunk), starts),
     )
     return res.reshape(-1)[:r]

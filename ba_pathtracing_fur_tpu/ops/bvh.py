@@ -99,6 +99,11 @@ class BVH:
     packed: jnp.ndarray | None  # [n_leaves, W, leaf_size] f32
     n_leaves: int = struct.field(pytree_node=False)  # power of two
     leaf_size: int = struct.field(pytree_node=False)
+    # Hierarchical traversal fan-out: leaf clusters per super-cluster
+    # (power of two dividing n_leaves). 0 = flat single-level traversal.
+    # Super-cluster AABBs are the heap level at depth log2(n_leaves/fanout)
+    # — already present in bmin/bmax, no extra storage.
+    fanout: int = struct.field(pytree_node=False, default=0)
 
     @property
     def depth(self) -> int:
@@ -112,6 +117,8 @@ def _next_pow2(n: int) -> int:
 def build(prim_bmin, prim_bmax, leaf_size: int = 8) -> BVH:
     """Build the LBVH from primitive AABBs ([N,3] each). jit-friendly:
     all shapes derive from the static N and leaf_size."""
+    prim_bmin = jnp.asarray(prim_bmin)
+    prim_bmax = jnp.asarray(prim_bmax)
     n = prim_bmin.shape[0]
     n_leaves = _next_pow2(max(-(-n // leaf_size), 1))
     n_slots = n_leaves * leaf_size
@@ -148,9 +155,17 @@ def build(prim_bmin, prim_bmax, leaf_size: int = 8) -> BVH:
                n_leaves=n_leaves, leaf_size=leaf_size)
 
 
+def _xp(x):
+    """numpy for host arrays, jnp for device arrays/tracers — the pack and
+    reorder helpers run in both worlds (host scene build vs on-device morton
+    rebuild for dynamic geometry)."""
+    return np if isinstance(x, np.ndarray) else jnp
+
+
 def pack_tris(tris: TrianglePack, bvh: BVH) -> BVH:
     """Pack the (already reordered) triangle pack for traversal:
     [C, 9, K] = (v0, e1, e2) per component, component-major."""
+    xp = _xp(tris.v0)
     k = bvh.leaf_size
     v0 = tris.v0
     e1 = tris.v1 - v0
@@ -158,31 +173,50 @@ def pack_tris(tris: TrianglePack, bvh: BVH) -> BVH:
     comps = [v0[:, 0], v0[:, 1], v0[:, 2],
              e1[:, 0], e1[:, 1], e1[:, 2],
              e2[:, 0], e2[:, 1], e2[:, 2]]
-    packed = jnp.stack(comps, axis=1).reshape(bvh.n_leaves, k, len(comps))
-    return bvh.replace(packed=jnp.transpose(packed, (0, 2, 1)))
+    packed = xp.stack(comps, axis=1).reshape(bvh.n_leaves, k, len(comps))
+    return bvh.replace(packed=xp.transpose(packed, (0, 2, 1)))
 
 
 def pack_cones(cones: ConePack, bvh: BVH) -> BVH:
     """Pack the (already reordered) cone pack for traversal:
     [C, 16, K] = (base, u, v, w per component, slope, r_base, min_d, max_d)."""
+    xp = _xp(cones.base)
     k = bvh.leaf_size
     comps = [cones.base[:, 0], cones.base[:, 1], cones.base[:, 2],
              cones.u[:, 0], cones.u[:, 1], cones.u[:, 2],
              cones.v[:, 0], cones.v[:, 1], cones.v[:, 2],
              cones.w[:, 0], cones.w[:, 1], cones.w[:, 2],
              cones.slope, cones.r_base, cones.min_d, cones.max_d]
-    packed = jnp.stack(comps, axis=1).reshape(bvh.n_leaves, k, len(comps))
-    return bvh.replace(packed=jnp.transpose(packed, (0, 2, 1)))
+    packed = xp.stack(comps, axis=1).reshape(bvh.n_leaves, k, len(comps))
+    return bvh.replace(packed=xp.transpose(packed, (0, 2, 1)))
+
+
+def _ranges_to_perm(order, bounds, n_leaves, leaf_size):
+    """Scatter per-leaf index ranges into padded leaf slots, loop-free:
+    row i of `order` goes to slot leaf*leaf_size + (i - leaf_start)."""
+    order = np.asarray(order, np.int64)
+    bounds = np.asarray(bounds, np.int64)
+    counts = np.diff(bounds)
+    if counts.max(initial=0) > leaf_size:
+        raise AssertionError("median split produced oversized leaf")
+    n = order.shape[0]
+    leaf_of = np.repeat(np.arange(n_leaves, dtype=np.int64), counts)
+    within = np.arange(n, dtype=np.int64) - bounds[leaf_of]
+    perm = np.full((n_leaves * leaf_size,), -1, np.int64)
+    perm[leaf_of * leaf_size + within] = order
+    return perm
 
 
 def build_median(prim_bmin, prim_bmax, leaf_size: int = 256) -> BVH:
-    """Host-side median-split build (numpy): recursively split prim ranges
-    at the centroid median of the longest axis — the same partition family
-    as KIRK's SAH split (CPU_BVH.cpp:357-461) with the median as the plane.
+    """Host-side median-split build: recursively split prim ranges at the
+    centroid median of the longest axis — the same partition family as
+    KIRK's SAH split (CPU_BVH.cpp:357-461) with the median as the plane.
 
     Produces far more compact clusters than morton clustering for curved
     dense geometry (fur balls: sum-of-cluster-volume drops ~5-10x), which
-    directly cuts traversal rounds. Host-only (np.argpartition); prefer the
+    directly cuts traversal rounds. The partition runs in the native C++
+    splitter (native/bvh_builder.cpp — threaded nth_element, the CPU_BVH
+    partition analog) with a loop-free numpy lexsort fallback; prefer the
     on-device morton `build` inside jit or for dynamic geometry.
     """
     bmin = np.asarray(prim_bmin, np.float32)
@@ -190,53 +224,58 @@ def build_median(prim_bmin, prim_bmax, leaf_size: int = 256) -> BVH:
     n = bmin.shape[0]
     cent = 0.5 * (bmin + bmax)
     n_leaves = _next_pow2(max(-(-n // leaf_size), 1))
-    n_slots = n_leaves * leaf_size
 
-    order = np.arange(n)
-    # level-order splits: ranges tracked as boundary offsets
-    bounds = [0, n]
+    from .. import native
+    res = native.median_split(cent, n_leaves)
+    if res is not None:
+        order, bounds = res
+        perm = _ranges_to_perm(order, bounds, n_leaves, leaf_size)
+        return _finalize_host(perm, bmin, bmax, n_leaves, leaf_size)
+
+    # numpy fallback: one vectorized lexsort pass per level (no per-segment
+    # python loop — the host may be a slow/throttled VM)
+    order = np.arange(n, dtype=np.int64)
+    bounds = np.array([0, n], dtype=np.int64)
     for _ in range(n_leaves.bit_length() - 1):
-        new_bounds = [0]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            seg = order[s:e]
-            if e - s <= 1:
-                new_bounds.extend([s + (e - s + 1) // 2, e])
-                continue
-            c = cent[seg]
-            axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-            mid = (e - s + 1) // 2  # mid < e-s whenever e-s >= 2
-            part = np.argpartition(c[:, axis], mid)
-            order[s:e] = seg[part]
-            new_bounds.extend([s + mid, e])
-        bounds = new_bounds
-
-    # distribute each final range into its leaf slot (ranges ≈ equal size)
-    perm = np.full((n_slots,), -1, np.int64)
-    for li, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
-        cnt = e - s
-        if cnt > leaf_size:
-            raise AssertionError("median split produced oversized leaf")
-        perm[li * leaf_size: li * leaf_size + cnt] = order[s:e]
+        counts = np.diff(bounds)
+        seg_of = np.repeat(np.arange(counts.shape[0]), counts)
+        c = cent[order]
+        # per-segment longest axis via segment-wise min/max
+        n_seg = counts.shape[0]
+        lo = np.full((n_seg, 3), np.float32(BIG))
+        hi = np.full((n_seg, 3), np.float32(-BIG))
+        np.minimum.at(lo, seg_of, c)
+        np.maximum.at(hi, seg_of, c)
+        axis = np.argmax(hi - lo, axis=1)
+        key = c[np.arange(n), axis[seg_of]]
+        idx = np.lexsort((key, seg_of))  # sorted within each segment
+        order = order[idx]
+        mids = bounds[:-1] + (counts + 1) // 2
+        bounds = np.sort(np.concatenate([bounds, mids]))
+    perm = _ranges_to_perm(order, bounds, n_leaves, leaf_size)
     return _finalize_host(perm, bmin, bmax, n_leaves, leaf_size)
 
 
 def _finalize_host(perm, bmin, bmax, n_leaves, leaf_size) -> BVH:
     """Shared tail of the host-side builders: leaf AABB reduction over the
-    slot permutation + bottom-up level concatenation into heap order."""
+    slot permutation + bottom-up level concatenation into heap order.
+    Leaves stay numpy — one batched device transfer happens at to_device /
+    the jit boundary (eager per-array transfers are ~1s each on tunneled
+    TPU hosts)."""
     keep = perm >= 0
     safe = np.maximum(perm, 0)
     sbmin = np.where(keep[:, None], bmin[safe], np.float32(BIG))
     sbmax = np.where(keep[:, None], bmax[safe], np.float32(-BIG))
 
-    lmin = jnp.asarray(sbmin.reshape(n_leaves, leaf_size, 3).min(axis=1))
-    lmax = jnp.asarray(sbmax.reshape(n_leaves, leaf_size, 3).max(axis=1))
+    lmin = sbmin.reshape(n_leaves, leaf_size, 3).min(axis=1)
+    lmax = sbmax.reshape(n_leaves, leaf_size, 3).max(axis=1)
     levels_min, levels_max = [lmin], [lmax]
     while levels_min[0].shape[0] > 1:
         levels_min.insert(0, levels_min[0].reshape(-1, 2, 3).min(axis=1))
         levels_max.insert(0, levels_max[0].reshape(-1, 2, 3).max(axis=1))
-    return BVH(bmin=jnp.concatenate(levels_min, 0),
-               bmax=jnp.concatenate(levels_max, 0),
-               perm=jnp.asarray(perm.astype(np.int32)), packed=None,
+    return BVH(bmin=np.concatenate(levels_min, 0),
+               bmax=np.concatenate(levels_max, 0),
+               perm=perm.astype(np.int32), packed=None,
                n_leaves=n_leaves, leaf_size=leaf_size)
 
 
@@ -364,31 +403,34 @@ def build_grid(prim_bmin, prim_bmax, leaf_size: int = 256,
 def reorder_tris(tris: TrianglePack, bvh: BVH) -> TrianglePack:
     """Morton-reorder + pad the pack so leaf rows are contiguous; padding
     rows are all-zero degenerate triangles (det==0 ⇒ never hit)."""
-    safe = jnp.maximum(bvh.perm, 0)
+    xp = _xp(bvh.perm)
+    safe = xp.maximum(bvh.perm, 0)
     keep = (bvh.perm >= 0)
 
     def take(x):
         g = x[safe]
         mask = keep.reshape((-1,) + (1,) * (g.ndim - 1))
-        return jnp.where(mask, g, jnp.zeros_like(g))
+        return _xp(g).where(mask, g, 0)
 
     return jax.tree.map(take, tris)
 
 
 def reorder_cones(cones: ConePack, bvh: BVH) -> ConePack:
     """Same for cones; padding rows get an empty axis slab (min_d > max_d)."""
-    safe = jnp.maximum(bvh.perm, 0)
+    xp = _xp(bvh.perm)
+    safe = xp.maximum(bvh.perm, 0)
     keep = (bvh.perm >= 0)
 
     def take(x):
         g = x[safe]
         mask = keep.reshape((-1,) + (1,) * (g.ndim - 1))
-        return jnp.where(mask, g, jnp.zeros_like(g))
+        return _xp(g).where(mask, g, 0)
 
     out = jax.tree.map(take, cones)
+    xpo = _xp(out.min_d)
     return out.replace(
-        min_d=jnp.where(keep, out.min_d, 1.0),
-        max_d=jnp.where(keep, out.max_d, -1.0),
+        min_d=xpo.where(keep, out.min_d, 1.0),
+        max_d=xpo.where(keep, out.max_d, -1.0),
     )
 
 
@@ -441,7 +483,15 @@ def _slab_grid(o, inv_d, bmin, bmax, t_max):
 
 
 def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit, max_rounds):
-    """Culled-cluster traversal for one ray chunk. See `traverse`."""
+    """Flat culled-cluster traversal for one ray chunk. See `traverse`.
+
+    Min-EXTRACTION schedule, not a sort: each round every ray takes the
+    nearest not-yet-visited cluster (argmin over its masked entry-distance
+    row) and masks it off. Near-to-far pruning is identical to a sorted
+    sweep — the extracted minimum IS the next cluster in entry order — but
+    avoids XLA's TPU sort, which costs ~100x a vector min pass at these
+    shapes (measured: [16k, 256] f32 sort ≈ 20 ms vs ≈ 0.2 ms for the
+    argmin+mask round)."""
     r = o.shape[0]
     n_c = bvh.n_leaves
     k = bvh.leaf_size
@@ -449,53 +499,159 @@ def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit, max_rounds):
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
 
-    # Phase 1 (dense): entry distance to every cluster box, then sort the
-    # cluster ids by it. XLA's TPU sort makes this effectively free.
-    cb_min = bvh.bmin[leaf_base:]
-    cb_max = bvh.bmax[leaf_base:]
-    tn = _slab_grid(o, inv_d, cb_min, cb_max, t_max)  # [R, C]
-    ids = jnp.broadcast_to(jnp.arange(n_c, dtype=jnp.int32)[None], (r, n_c))
-    tn_sorted, id_sorted = jax.lax.sort_key_val(tn, ids, dimension=-1)
+    # Phase 1 (dense): entry distance to every cluster box. [R, C]
+    tn = _slab_grid(o, inv_d, bvh.bmin[leaf_base:], bvh.bmax[leaf_base:], t_max)
+    col = jnp.arange(n_c, dtype=jnp.int32)[None]
 
-    # Phase 2 (rounds): visit clusters per ray in entry order; each round is
-    # ONE bulk gather of the cluster's k primitive rows + a dense intersect.
-    # Exact: a round only runs while some ray's next cluster could still
-    # beat its current best hit, so no candidate is ever truncated.
-    t_best = t_max
-    row_best = jnp.full((r,), -1, jnp.int32)
     if max_rounds is None:
         max_rounds = n_c
+    max_rounds = jnp.int32(min(max_rounds, n_c))
 
     def cond(carry):
-        rnd, t_best, row_best, alive = carry
-        in_range = rnd < jnp.int32(min(max_rounds, n_c))
-        tn_r = jax.lax.dynamic_slice_in_dim(tn_sorted, rnd, 1, axis=1)[:, 0]
-        return in_range & jnp.any(alive & (tn_r < t_best))
+        rnd, tn, t_best, row_best, alive = carry
+        return (rnd < max_rounds) & jnp.any(alive)
 
     def body(carry):
-        rnd, t_best, row_best, alive = carry
-        tn_r = jax.lax.dynamic_slice_in_dim(tn_sorted, rnd, 1, axis=1)[:, 0]
-        cl = jax.lax.dynamic_slice_in_dim(id_sorted, rnd, 1, axis=1)[:, 0]
-        active = alive & (tn_r < t_best)
+        rnd, tn, t_best, row_best, alive = carry
+        j = jnp.argmin(tn, axis=-1).astype(jnp.int32)  # nearest unvisited
+        ct = _take1(tn, j)
+        alive = alive & (ct < t_best)  # sorted-order prune: rest only farther
+        t_cand = leaf_fn(o, d, j, t_min, t_best)  # [R, k]
+        t_cand = jnp.where(alive[:, None], t_cand, INF)
+        jj = jnp.argmin(t_cand, axis=-1)
+        t_new = _take1(t_cand, jj.astype(jnp.int32))
+        better = t_new < t_best
+        t_best = jnp.where(better, t_new, t_best)
+        row_best = jnp.where(better, j * k + jj.astype(jnp.int32), row_best)
+        tn = jnp.where(col == j[:, None], INF, tn)  # mark visited
+        if any_hit:
+            alive = alive & ~(row_best >= 0)
+        return rnd + 1, tn, t_best, row_best, alive
+
+    init = (jnp.int32(0), tn, t_max, jnp.full((r,), -1, jnp.int32),
+            jnp.ones((r,), bool))
+    out = jax.lax.while_loop(cond, body, init)
+    t_best, row_best = out[2], out[3]
+    return t_best, row_best, row_best >= 0
+
+
+def _slab_grouped(o, inv_d, bmin_g, bmax_g, t_best):
+    """Slab test of each ray against ITS OWN group of boxes.
+    o/inv_d [R,3], boxes [R,F,3] -> t_near [R,F] with INF where missed."""
+    r, f = bmin_g.shape[0], bmin_g.shape[1]
+    tnear = jnp.full((r, f), -INF)
+    tfar = jnp.full((r, f), INF)
+    for a in range(3):
+        t0 = (bmin_g[:, :, a] - o[:, a:a + 1]) * inv_d[:, a:a + 1]
+        t1 = (bmax_g[:, :, a] - o[:, a:a + 1]) * inv_d[:, a:a + 1]
+        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+    hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear < t_best[:, None])
+    return jnp.where(hit, tnear, INF)
+
+
+def _take1(arr2d, idx):
+    """arr2d[r, idx[r]] -> [R]."""
+    return jnp.take_along_axis(arr2d, idx[:, None], axis=1)[:, 0]
+
+
+def _traverse_chunk_hier(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit,
+                         max_rounds):
+    """Two-level culled-cluster traversal for one ray chunk.
+
+    The flat scheme's phase 1 materializes an O(R·C) entry grid — fine to
+    C≈512, ruinous at the 10^5 leaf clusters of a 1M-fiber hair ball
+    (SURVEY hard part d). Here the implicit tree's level at n_leaves/fanout
+    supplies S = C/F super-cluster AABBs: rays min-extract supers
+    near-to-far from a masked [R, S] entry grid; entering a super
+    slab-tests only its F children ([R, F] gather of contiguous box rows)
+    which are then min-extracted the same way. Pruning is identical
+    (entry < best-hit), so results match the flat traversal and the
+    brute-force oracle bit-for-bit; only the visit schedule changes. Cost
+    per round: one [R, F, 6] box gather + one [R, W·K] leaf gather + dense
+    [R, K] intersection + [R, S] and [R, F] min passes — every term is
+    per-ray-bounded instead of scene-bounded, and nothing is sorted.
+    """
+    r = o.shape[0]
+    n_c = bvh.n_leaves
+    k = bvh.leaf_size
+    f = bvh.fanout
+    s = n_c // f
+    leaf_base = n_c - 1
+    sup_base = s - 1
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
+
+    # Phase 1 (dense, once): entry distance to every SUPER box. NO sort —
+    # supers and children are consumed by min-extraction (see
+    # _traverse_chunk on why sorting loses by ~100x on TPU).
+    sup_t = _slab_grid(o, inv_d, bvh.bmin[sup_base:sup_base + s],
+                       bvh.bmax[sup_base:sup_base + s], t_max)  # [R, S]
+
+    # child (leaf-cluster) boxes grouped per super: contiguous heap rows
+    cb_min = bvh.bmin[leaf_base:leaf_base + n_c].reshape(s, f, 3)
+    cb_max = bvh.bmax[leaf_base:leaf_base + n_c].reshape(s, f, 3)
+
+    if max_rounds is None:
+        max_rounds = s + n_c  # every super + every cluster once (safe bound)
+    max_rounds = jnp.int32(max_rounds)
+    scol = jnp.arange(s, dtype=jnp.int32)[None]
+    fcol = jnp.arange(f, dtype=jnp.int32)[None]
+
+    def cond(c):
+        rnd, t_best, row_best, sup_t, child_t, cur_sid, alive = c
+        return (rnd < max_rounds) & jnp.any(alive)
+
+    def body(c):
+        rnd, t_best, row_best, sup_t, child_t, cur_sid, alive = c
+        # 1. rays whose current super has no remaining useful child advance
+        #    to the nearest unvisited super; if even that can't beat the
+        #    best hit, the ray is done (entries only grow, best only drops).
+        cmin_idx = jnp.argmin(child_t, axis=-1).astype(jnp.int32)
+        cmin = _take1(child_t, cmin_idx)
+        need_sup = alive & (cmin >= t_best)
+        smin_idx = jnp.argmin(sup_t, axis=-1).astype(jnp.int32)  # = super id
+        smin = _take1(sup_t, smin_idx)
+        expand = need_sup & (smin < t_best)
+        alive = alive & (~need_sup | expand)
+        sup_t = jnp.where((need_sup[:, None]) & (scol == smin_idx[:, None]),
+                          INF, sup_t)  # mark visited
+        cur_sid = jnp.where(expand, smin_idx, cur_sid)
+
+        # 2. expand: slab-test the new super's F children
+        tn_c = _slab_grouped(o, inv_d, cb_min[cur_sid], cb_max[cur_sid], t_best)
+        child_t = jnp.where(expand[:, None], tn_c, child_t)
+
+        # 3. visit the nearest remaining child cluster (same round as the
+        #    expansion, so advancing costs no extra leaf round)
+        cmin_idx = jnp.argmin(child_t, axis=-1).astype(jnp.int32)
+        cmin = _take1(child_t, cmin_idx)
+        active = alive & (cmin < t_best)
+        cl = cur_sid * f + cmin_idx
         t_cand = leaf_fn(o, d, cl, t_min, t_best)  # [R, k]
         t_cand = jnp.where(active[:, None], t_cand, INF)
         j = jnp.argmin(t_cand, axis=-1)
-        t_new = jnp.take_along_axis(t_cand, j[:, None], axis=-1)[:, 0]
+        t_new = _take1(t_cand, j.astype(jnp.int32))
         better = t_new < t_best
         t_best = jnp.where(better, t_new, t_best)
         row_best = jnp.where(better, cl * k + j.astype(jnp.int32), row_best)
+        child_t = jnp.where(active[:, None] & (fcol == cmin_idx[:, None]),
+                            INF, child_t)
         if any_hit:
             alive = alive & ~(row_best >= 0)
-        return rnd + 1, t_best, row_best, alive
+        return rnd + 1, t_best, row_best, sup_t, child_t, cur_sid, alive
 
-    init = (jnp.int32(0), t_best, row_best, jnp.ones((r,), bool))
-    _, t_best, row_best, _ = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), t_max, jnp.full((r,), -1, jnp.int32), sup_t,
+            jnp.full((r, f), INF), jnp.zeros((r,), jnp.int32),
+            jnp.ones((r,), bool))
+    out = jax.lax.while_loop(cond, body, init)
+    t_best, row_best = out[1], out[2]
     return t_best, row_best, row_best >= 0
 
 
 def traverse(bvh: BVH, o, d, leaf_fn: Callable, t_min, t_max,
              any_hit: bool = False, max_rounds: int | None = None,
-             chunk: int = 16384):
+             chunk: int = 16384, n_alive=None):
     """Nearest-hit traversal for a ray wavefront — TPU-shaped.
 
     Instead of a per-ray node automaton (gather-per-step is latency-bound on
@@ -515,18 +671,38 @@ def traverse(bvh: BVH, o, d, leaf_fn: Callable, t_min, t_max,
     hit_found [R] bool). With any_hit=True rays stop at the first accepted
     hit (shadow semantics; t/row are then *a* hit, not the nearest).
     """
+    from ..scene.types import ensure_device
+    bvh = ensure_device(bvh)
     r = o.shape[0]
+    hier = bvh.fanout and bvh.fanout < bvh.n_leaves
+    chunk_fn = _traverse_chunk_hier if hier else _traverse_chunk
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
     if r <= chunk:
-        return _traverse_chunk(bvh, o, d, leaf_fn, t_min, t_max_arr, any_hit, max_rounds)
+        return chunk_fn(bvh, o, d, leaf_fn, t_min, t_max_arr, any_hit, max_rounds)
     pad = (-r) % chunk
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
     d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     t_p = jnp.pad(t_max_arr, (0, pad))
+    starts = jnp.arange(-(-r // chunk), dtype=jnp.int32) * chunk
+
+    def one(args):
+        oo, dd, tt, start = args
+        if n_alive is None:
+            return chunk_fn(bvh, oo, dd, leaf_fn, t_min, tt, any_hit,
+                            max_rounds)
+        # compacted wavefront: whole-dead chunks skip even the dense
+        # phase-1 slab grid (pt_sortHits.compute analog)
+        return jax.lax.cond(
+            start < n_alive,
+            lambda: chunk_fn(bvh, oo, dd, leaf_fn, t_min, tt, any_hit,
+                             max_rounds),
+            lambda: (jnp.full((chunk,), INF), jnp.full((chunk,), -1, jnp.int32),
+                     jnp.zeros((chunk,), bool)))
+
     out = jax.lax.map(
-        lambda args: _traverse_chunk(bvh, args[0], args[1], leaf_fn, t_min,
-                                     args[2], any_hit, max_rounds),
-        (o_p.reshape(-1, chunk, 3), d_p.reshape(-1, chunk, 3), t_p.reshape(-1, chunk)),
+        one,
+        (o_p.reshape(-1, chunk, 3), d_p.reshape(-1, chunk, 3),
+         t_p.reshape(-1, chunk), starts),
     )
     return tuple(x.reshape(-1)[:r] for x in out)
 
@@ -617,9 +793,10 @@ def _cone_core(o, d, comp, t_min, t_best):
 
 def tri_leaf_packed(bvh: BVH):
     """Traversal leaf fn over bvh.packed [C, 9, K]."""
+    packed = jnp.asarray(bvh.packed) if isinstance(bvh.packed, np.ndarray) else bvh.packed
 
     def fn(o, d, cl, t_min, t_best):
-        blk = bvh.packed[cl]  # [R, 9, K] — one contiguous row gather
+        blk = packed[cl]  # [R, 9, K] — one contiguous row gather
         comp = [blk[:, i] for i in range(9)]
         return _tri_core(o, d, comp, t_min, t_best)
 
@@ -628,9 +805,10 @@ def tri_leaf_packed(bvh: BVH):
 
 def cone_leaf_packed(bvh: BVH):
     """Traversal leaf fn over bvh.packed [C, 16, K]."""
+    packed = jnp.asarray(bvh.packed) if isinstance(bvh.packed, np.ndarray) else bvh.packed
 
     def fn(o, d, cl, t_min, t_best):
-        blk = bvh.packed[cl]  # [R, 16, K]
+        blk = packed[cl]  # [R, 16, K]
         comp = [blk[:, i] for i in range(16)]
         return _cone_core(o, d, comp, t_min, t_best)
 
@@ -639,6 +817,8 @@ def cone_leaf_packed(bvh: BVH):
 
 def tri_leaf_rows(tris: TrianglePack):
     """Row-indexed variant (outside the loop: winner recompute, tests)."""
+    from ..scene.types import ensure_device
+    tris = ensure_device(tris)
 
     def fn(o, d, rows, t_min, t_best):
         v0 = tris.v0[rows]
@@ -654,6 +834,8 @@ def tri_leaf_rows(tris: TrianglePack):
 
 def cone_leaf_rows(cones: ConePack):
     """Row-indexed variant (outside the loop: winner recompute, tests)."""
+    from ..scene.types import ensure_device
+    cones = ensure_device(cones)
 
     def fn(o, d, rows, t_min, t_best):
         comp = [cones.base[rows, 0], cones.base[rows, 1], cones.base[rows, 2],

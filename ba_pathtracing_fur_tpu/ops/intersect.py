@@ -181,8 +181,12 @@ def cone_texcoord(cones: ConePack, cone_id, point):
 
 def cone_aabbs(cones: ConePack):
     """World AABBs from the 8 transformed local-bound corners
-    (Cylinder::computeBounds, Cylinder.cpp:306-336). Returns ([F,3],[F,3])."""
-    radius = jnp.maximum(cones.r_base, cones.r_apex) + 1e-6
+    (Cylinder::computeBounds, Cylinder.cpp:306-336). Returns ([F,3],[F,3]).
+    Works on host (numpy packs — no device round-trip during scene build)
+    and on device alike."""
+    import numpy as _np
+    xp = _np if isinstance(cones.base, _np.ndarray) else jnp
+    radius = xp.maximum(cones.r_base, cones.r_apex) + 1e-6
     h = cones.height
     corners = []
     for sx in (-1.0, 1.0):
@@ -191,12 +195,14 @@ def cone_aabbs(cones: ConePack):
                 p = (sx * radius)[:, None] * cones.u + (sy * h)[:, None] * cones.v \
                     + (sz * radius)[:, None] * cones.w + cones.base
                 corners.append(p)
-    pts = jnp.stack(corners, axis=1)  # [F,8,3]
+    pts = xp.stack(corners, axis=1)  # [F,8,3]
     return pts.min(axis=1), pts.max(axis=1)
 
 
 def triangle_aabbs(tris: TrianglePack):
-    pts = jnp.stack([tris.v0, tris.v1, tris.v2], axis=1)
+    import numpy as _np
+    xp = _np if isinstance(tris.v0, _np.ndarray) else jnp
+    pts = xp.stack([tris.v0, tris.v1, tris.v2], axis=1)
     return pts.min(axis=1), pts.max(axis=1)
 
 

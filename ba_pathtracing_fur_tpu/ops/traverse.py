@@ -40,8 +40,34 @@ ACCEL_BUILDERS = {
 }
 
 
-def attach_bvh(scene: DeviceScene, leaf_size: int = 256,
-               method: str = "median", min_prims: int = 2048) -> DeviceScene:
+def _prev_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n.bit_length() - 1)
+
+
+def auto_leaf_size(n_prims: int, target: int = 64) -> int:
+    """Pick a leaf size near `target` that fills the power-of-two leaf count
+    tightly (occupancy >= ~75% instead of the worst-case 50% a fixed leaf
+    size gives), rounded up to a multiple of 8 for VPU lane alignment."""
+    n_leaves = max(_prev_pow2(max(n_prims // target, 1)), 1)
+    k = -(-n_prims // n_leaves)
+    return max(-(-k // 8) * 8, 8)
+
+
+def auto_fanout(n_leaves: int, max_supers: int = 1024) -> int:
+    """Fan-out (children per super-cluster) for the hierarchical traversal:
+    0 (flat) while the dense [R, C] phase-1 grid is cheap, else the smallest
+    power-of-two that keeps the super count <= max_supers."""
+    if n_leaves <= 512:
+        return 0
+    f = 16
+    while n_leaves // f > max_supers:
+        f *= 2
+    return min(f, n_leaves)
+
+
+def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
+               method: str = "median", min_prims: int = 2048,
+               fanout: int | None = None) -> DeviceScene:
     """Build LBVHs over the primitive packs and reorder the packs so leaf
     clusters are contiguous.
 
@@ -50,6 +76,11 @@ def attach_bvh(scene: DeviceScene, leaf_size: int = 256,
     "grid" uniform-grid cells) or "none" for brute force. Packs smaller
     than `min_prims` are left alone — the dense all-pairs grid beats cluster
     traversal below that size, and closest_hit mixes the two per pack.
+
+    leaf_size/fanout default to size-dependent auto choices (auto_leaf_size /
+    auto_fanout); pass explicit values to override. Host (numpy) packs build
+    entirely on host — call scene.to_device / types.to_device afterwards for
+    a single batched transfer.
     """
     if method == "none":
         return scene
@@ -57,13 +88,19 @@ def attach_bvh(scene: DeviceScene, leaf_size: int = 256,
     tris, cones = scene.tris, scene.cones
     tri_bvh = cone_bvh = None
     if tris.count >= min_prims:
+        k = leaf_size or auto_leaf_size(tris.count)
         bmin, bmax = isect.triangle_aabbs(tris)
-        tri_bvh = build(bmin, bmax, leaf_size)
+        tri_bvh = build(bmin, bmax, k)
+        f = auto_fanout(tri_bvh.n_leaves) if fanout is None else fanout
+        tri_bvh = tri_bvh.replace(fanout=f)
         tris = bvh_mod.reorder_tris(tris, tri_bvh)
         tri_bvh = bvh_mod.pack_tris(tris, tri_bvh)
     if cones.count >= min_prims:
+        k = leaf_size or auto_leaf_size(cones.count)
         bmin, bmax = isect.cone_aabbs(cones)
-        cone_bvh = build(bmin, bmax, leaf_size)
+        cone_bvh = build(bmin, bmax, k)
+        f = auto_fanout(cone_bvh.n_leaves) if fanout is None else fanout
+        cone_bvh = cone_bvh.replace(fanout=f)
         cones = bvh_mod.reorder_cones(cones, cone_bvh)
         cone_bvh = bvh_mod.pack_cones(cones, cone_bvh)
     return scene.replace(tris=tris, cones=cones, tri_bvh=tri_bvh,
@@ -93,29 +130,35 @@ def _cone_enter_at(cones, cone_id, o, d, t):
     return jnp.abs(t - t1) <= jnp.abs(t - t2)
 
 
-def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF) -> bruteforce.Hit:
+def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
+                    chunk: int = 16384, n_alive=None) -> bruteforce.Hit:
     """Nearest hit via LBVH traversal; Hit layout identical to the oracle.
 
     The traversal while_loop is not reverse-differentiable, so it runs on
     stop_gradient'ed inputs and only *selects* the winning primitive row;
     the winner's t is then recomputed differentiably outside the loop (same
     math, same data ⇒ bit-identical value, but with a VJP)."""
+    from ..scene.types import ensure_device
+    scene = ensure_device(scene)
     r = o.shape[0]
     tris, cones = scene.tris, scene.cones
     sg = jax.lax.stop_gradient
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    cap = t_max_arr[:, None]
 
     t_tri = jnp.full((r,), INF)
     tri_row = jnp.zeros((r,), jnp.int32)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
         _, tri_row, found = bvh_mod.traverse(
-            sbvh, sg(o), sg(d), bvh_mod.tri_leaf_packed(sbvh), t_min, t_max)
+            sbvh, sg(o), sg(d), bvh_mod.tri_leaf_packed(sbvh), t_min,
+            sg(t_max_arr), chunk=chunk, n_alive=n_alive)
         tri_row = jnp.maximum(tri_row, 0)
         t_re = bvh_mod.tri_leaf_rows(tris)(o, d, tri_row[:, None], t_min,
-                                           jnp.full((r,), t_max))[:, 0]
+                                           t_max_arr)[:, 0]
         t_tri = jnp.where(found, t_re, INF)
     elif tris.count:  # small pack: dense all-pairs grid
-        tg, _, _, _ = isect.triangle_hit_grid(o, d, tris, t_min, t_max)
+        tg, _, _, _ = isect.triangle_hit_grid(o, d, tris, t_min, cap)
         tri_row = jnp.argmin(tg, axis=-1).astype(jnp.int32)
         t_tri = jnp.take_along_axis(tg, tri_row[:, None], axis=-1)[:, 0]
 
@@ -124,17 +167,19 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF) -> brutefor
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
         _, cone_row, found_c = bvh_mod.traverse(
-            sbvh, sg(o), sg(d), bvh_mod.cone_leaf_packed(sbvh), t_min, t_max)
+            sbvh, sg(o), sg(d), bvh_mod.cone_leaf_packed(sbvh), t_min,
+            sg(t_max_arr), chunk=chunk, n_alive=n_alive)
         cone_row = jnp.maximum(cone_row, 0)
         t_re = bvh_mod.cone_leaf_rows(cones)(o, d, cone_row[:, None], t_min,
-                                             jnp.full((r,), t_max))[:, 0]
+                                             t_max_arr)[:, 0]
         t_cone = jnp.where(found_c, t_re, INF)
     elif cones.count:
-        cg, _, _ = isect.cone_hit_grid(o, d, cones, t_min, t_max)
+        cg, _, _ = isect.cone_hit_grid(o, d, cones, t_min, cap)
         cone_row = jnp.argmin(cg, axis=-1).astype(jnp.int32)
         t_cone = jnp.take_along_axis(cg, cone_row[:, None], axis=-1)[:, 0]
 
-    return _assemble_hit(o, d, scene, t_tri, tri_row, t_cone, cone_row, t_max)
+    return _assemble_hit(o, d, scene, t_tri, tri_row, t_cone, cone_row,
+                         t_max_arr)
 
 
 def _assemble_hit(o, d, scene: DeviceScene, t_tri, tri_row, t_cone, cone_row,
@@ -194,16 +239,20 @@ def _assemble_hit(o, d, scene: DeviceScene, t_tri, tri_row, t_cone, cone_row,
         enter=enter, fiber_u=fu, fiber_v=fv, fiber_w=fw)
 
 
-def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4):
+def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
+                chunk: int = 16384, n_alive=None):
     """Shadow-ray occlusion via early-exit LBVH traversal (boolean result —
     no gradient path, so everything runs on stopped inputs)."""
+    from ..scene.types import ensure_device
+    scene = ensure_device(scene)
     sg = jax.lax.stop_gradient
     o, d, t_max = sg(o), sg(d), sg(t_max)
     blocked = jnp.zeros((o.shape[0],), bool)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
         _, _, f = bvh_mod.traverse(sbvh, o, d, bvh_mod.tri_leaf_packed(sbvh),
-                                   t_min, t_max, any_hit=True)
+                                   t_min, t_max, any_hit=True, chunk=chunk,
+                                   n_alive=n_alive)
         blocked |= f
     elif scene.tris.count:
         tg, _, _, valid = isect.triangle_hit_grid(o, d, scene.tris, t_min,
@@ -212,7 +261,8 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4):
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
         _, _, f = bvh_mod.traverse(sbvh, o, d, bvh_mod.cone_leaf_packed(sbvh),
-                                   t_min, t_max, any_hit=True)
+                                   t_min, t_max, any_hit=True, chunk=chunk,
+                                   n_alive=n_alive)
         blocked |= f
     elif scene.cones.count:
         _, _, valid = isect.cone_hit_grid(o, d, scene.cones, t_min,
@@ -272,18 +322,24 @@ def enable_pallas_bruteforce(on: bool = True) -> None:
 
 
 def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
-                chunk: int = 8192) -> bruteforce.Hit:
+                chunk: int = 8192, n_alive=None) -> bruteforce.Hit:
     """Dispatch: culled-cluster traversal for packs with a BVH (mixing in
     the dense grid for small packs), Pallas streaming brute force when
-    enabled, plain jnp brute force otherwise."""
+    enabled, plain jnp brute force otherwise. t_max may be per-ray [R];
+    n_alive enables whole-chunk skipping on compacted wavefronts."""
     if _has_bvh(scene):
-        return closest_hit_bvh(o, d, scene, t_min, t_max)
+        return closest_hit_bvh(o, d, scene, t_min, t_max,
+                               chunk=max(chunk, 8192), n_alive=n_alive)
     if _PALLAS_BRUTEFORCE:
         return closest_hit_pallas(o, d, scene, t_min, t_max)
-    return bruteforce.closest_hit(o, d, scene, t_min, t_max, chunk=chunk)
+    return bruteforce.closest_hit(o, d, scene, t_min, t_max, chunk=chunk,
+                                  n_alive=n_alive)
 
 
-def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192):
+def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192,
+            n_alive=None):
     if _has_bvh(scene):
-        return any_hit_bvh(o, d, scene, t_max, t_min)
-    return bruteforce.any_hit(o, d, scene, t_max, t_min, chunk=chunk)
+        return any_hit_bvh(o, d, scene, t_max, t_min,
+                           chunk=max(chunk, 8192), n_alive=n_alive)
+    return bruteforce.any_hit(o, d, scene, t_max, t_min, chunk=chunk,
+                              n_alive=n_alive)

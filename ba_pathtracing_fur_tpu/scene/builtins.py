@@ -104,6 +104,63 @@ def cornell_box(resolution=(256, 256), variant="diffuse", light_kind="quad"):
     return scene, cam
 
 
+def tri_terrain(resolution=(512, 512), n_tris=100_000, seed=0):
+    """~n_tris-triangle fBm heightfield — the BASELINE config-3 workload
+    class (BVH over ~100k triangles; stands in for a Blender-exported OBJ,
+    which `scene.io`/`scene.obj` load the same way). Returns (scene, cam)."""
+    g = max(int(np.sqrt(n_tris / 2)), 2)  # g*g quads = 2g^2 triangles
+    xs = np.linspace(-1.0, 1.0, g + 1, dtype=np.float32)
+    zs = np.linspace(-1.0, 1.0, g + 1, dtype=np.float32)
+    xx, zz = np.meshgrid(xs, zs, indexing="ij")
+    # host-side fBm heightfield (sin-lattice value noise; deterministic)
+    rs = np.random.RandomState(seed)
+    yy = np.zeros_like(xx)
+    amp, freq = 1.0, 3.0
+    for _ in range(4):
+        px, py = rs.uniform(0, 2 * np.pi, 2)
+        yy += amp * np.sin(freq * xx + px) * np.cos(freq * zz + py)
+        amp *= 0.5
+        freq *= 2.0
+    yy = (0.25 * yy / 1.875).astype(np.float32)
+    v = np.stack([xx, yy, zz], axis=-1)  # [g+1, g+1, 3]
+
+    a = v[:-1, :-1].reshape(-1, 3)
+    b = v[1:, :-1].reshape(-1, 3)
+    c = v[1:, 1:].reshape(-1, 3)
+    d = v[:-1, 1:].reshape(-1, 3)
+    v0 = np.concatenate([a, a])
+    v1 = np.concatenate([b, c])
+    v2 = np.concatenate([c, d])
+    # uv from xz position; checker material split
+    def uvs(p):
+        return (p[:, [0, 2]] + 1.0) * 0.5
+    cx = ((v0[:, 0] + 1) * 4).astype(np.int64)
+    cz = ((v0[:, 2] + 1) * 4).astype(np.int64)
+    mat = ((cx + cz) % 2).astype(np.int64)
+
+    mats = [dict(name="ground_a", diffuse=(0.65, 0.55, 0.40), bsdf=BSDF_LAMBERT),
+            dict(name="ground_b", diffuse=(0.30, 0.45, 0.25), bsdf=BSDF_LAMBERT)]
+    pack = make_triangle_pack(v0, v1, v2, uv0=uvs(v0), uv1=uvs(v1),
+                              uv2=uvs(v2), mat_id=mat)
+    lights = make_light_pack([
+        dict(kind="sun", color=(2.2, 2.1, 1.9), direction=(-0.4, -1.0, -0.2),
+             radius=0.05),
+        dict(kind="quad", color=(6.0, 6.0, 6.0), position=(0.0, 1.6, 0.0),
+             direction=(0.0, -1.0, 0.0), size=(0.8, 0.8)),
+    ])
+    mat_table = make_material_table(mats)
+    scene = DeviceScene(
+        tris=pack, cones=empty_cone_pack(), materials=mat_table,
+        lights=lights,
+        env=Environment(color=np.asarray((0.25, 0.3, 0.4), np.float32),
+                        ambient=np.asarray((0.05, 0.05, 0.05), np.float32)),
+        has_hair=False,
+    )
+    cam = make_camera(position=(0.0, 0.9, 1.8), look_at=(0.0, -0.1, -1.0),
+                      up=(0.0, 1.0, 0.0), resolution=resolution)
+    return scene, cam
+
+
 def fur_patch(resolution=(256, 256), fibers_per_face=5, fiber_verts=10,
               fiber_radius=0.004, bsdf="MarschnerHairBSDF", seed=0,
               patch_halfsize=0.5):

@@ -225,10 +225,37 @@ def scene_has_hair(materials: "MaterialTable") -> bool:
 # ---------------------------------------------------------------------------
 
 def _as_f32(x, shape=None):
-    a = jnp.asarray(np.asarray(x, dtype=np.float32))
+    """Host-side float32 (numpy). Packs are BUILT on host and moved to the
+    device in ONE batched transfer by `to_device` (or implicitly at the jit
+    boundary) — per-column eager transfers are prohibitively slow on
+    tunneled TPU hosts (~1s dispatch latency per eager op)."""
+    a = np.asarray(x, dtype=np.float32)
     if shape is not None:
         a = a.reshape(shape)
     return a
+
+
+def _as_i32(x):
+    return np.asarray(x, dtype=np.int32).reshape(-1)
+
+
+def to_device(tree, device=None):
+    """Move a host-built scene/pack pytree to the device in one transfer.
+    Call once after scene build + attach_bvh; all render entry points also
+    accept host (numpy) scenes, paying a transfer per jit call instead."""
+    import jax
+    return jax.device_put(tree, device)
+
+
+def ensure_device(tree):
+    """Convert any numpy leaves to jax arrays (no-op on tracers/device
+    arrays). Public compute entry points call this so host-built scenes work
+    both eagerly and as closure constants; pass scenes through `to_device`
+    (or as jit arguments) to avoid the per-call conversion."""
+    import jax
+    import jax.numpy as _jnp
+    return jax.tree.map(
+        lambda x: _jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
 
 
 def make_triangle_pack(v0, v1, v2, n0=None, n1=None, n2=None, uv0=None, uv1=None,
@@ -250,7 +277,7 @@ def make_triangle_pack(v0, v1, v2, n0=None, n1=None, n2=None, uv0=None, uv1=None
         uv0=_as_f32(uv0 if uv0 is not None else zeros2).reshape(-1, 2),
         uv1=_as_f32(uv1 if uv1 is not None else zeros2).reshape(-1, 2),
         uv2=_as_f32(uv2 if uv2 is not None else zeros2).reshape(-1, 2),
-        mat_id=jnp.asarray(mat_id if mat_id is not None else np.zeros(t), jnp.int32).reshape(-1),
+        mat_id=_as_i32(mat_id if mat_id is not None else np.zeros(t)),
         fiber_u=_as_f32(fiber_u if fiber_u is not None else default_frame[:, 0]).reshape(-1, 3),
         fiber_v=_as_f32(fiber_v if fiber_v is not None else default_frame[:, 1]).reshape(-1, 3),
         fiber_w=_as_f32(fiber_w if fiber_w is not None else default_frame[:, 2]).reshape(-1, 3),
@@ -258,10 +285,10 @@ def make_triangle_pack(v0, v1, v2, n0=None, n1=None, n2=None, uv0=None, uv1=None
 
 
 def empty_triangle_pack() -> TrianglePack:
-    z3 = jnp.zeros((0, 3), jnp.float32)
-    z2 = jnp.zeros((0, 2), jnp.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z2 = np.zeros((0, 2), np.float32)
     return TrianglePack(v0=z3, v1=z3, v2=z3, n0=z3, n1=z3, n2=z3, uv0=z2, uv1=z2,
-                        uv2=z2, mat_id=jnp.zeros((0,), jnp.int32), fiber_u=z3,
+                        uv2=z2, mat_id=np.zeros((0,), np.int32), fiber_u=z3,
                         fiber_v=z3, fiber_w=z3)
 
 
@@ -313,16 +340,16 @@ def make_cone_pack(base, apex, r_base, r_apex, mat_id, transform=None) -> ConePa
         r_apex=_as_f32(r_apex), u=_as_f32(u), v=_as_f32(v), w=_as_f32(w),
         slope=_as_f32(slope), height=_as_f32(height), base_d=_as_f32(base_d),
         min_d=_as_f32(min_d), max_d=_as_f32(max_d),
-        mat_id=jnp.asarray(np.asarray(mat_id), jnp.int32).reshape(-1),
+        mat_id=_as_i32(mat_id),
     )
 
 
 def empty_cone_pack() -> ConePack:
-    z3 = jnp.zeros((0, 3), jnp.float32)
-    z1 = jnp.zeros((0,), jnp.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
     return ConePack(base=z3, apex=z3, r_base=z1, r_apex=z1, u=z3, v=z3, w=z3,
                     slope=z1, height=z1, base_d=z1, min_d=z1, max_d=z1,
-                    mat_id=jnp.zeros((0,), jnp.int32))
+                    mat_id=np.zeros((0,), np.int32))
 
 
 def make_material_table(materials: list[dict]) -> MaterialTable:
@@ -358,11 +385,11 @@ def make_material_table(materials: list[dict]) -> MaterialTable:
         transparency=_as_f32(f("transparency", 0.0)),
         reflectivity=_as_f32(f("reflectivity", 0.0)),
         roughness=_as_f32(f("roughness", 1.0)),
-        bsdf_id=jnp.asarray([resolve_bsdf(m) for m in materials], jnp.int32),
-        shader_id=jnp.asarray([resolve_shader(m) for m in materials], jnp.int32),
+        bsdf_id=_as_i32([resolve_bsdf(m) for m in materials]),
+        shader_id=_as_i32([resolve_shader(m) for m in materials]),
         hair_alpha=_as_f32(f("hair_alpha", -7.5)),  # midpoint of [-10,-5]°
         hair_beta=_as_f32(f("hair_beta", 7.5)),  # midpoint of [5,10]°
-        diffuse_tex=jnp.asarray([m.get("diffuse_tex", -1) for m in materials], jnp.int32),
+        diffuse_tex=_as_i32([m.get("diffuse_tex", -1) for m in materials]),
     )
 
 
@@ -404,15 +431,15 @@ def make_light_pack(lights: list[dict]) -> LightPack:
     rows = [one(li) for li in lights]
     if not rows:
         return LightPack(
-            kind=jnp.zeros((0,), jnp.int32), color=jnp.zeros((0, 3), jnp.float32),
-            position=jnp.zeros((0, 3), jnp.float32), direction=jnp.zeros((0, 3), jnp.float32),
-            radius=jnp.zeros((0,), jnp.float32), const_att=jnp.zeros((0,), jnp.float32),
-            lin_att=jnp.zeros((0,), jnp.float32), quad_att=jnp.zeros((0,), jnp.float32),
-            verts=jnp.zeros((0, 4, 3), jnp.float32), size=jnp.zeros((0, 2), jnp.float32),
-            inner_angle=jnp.zeros((0,), jnp.float32), outer_angle=jnp.zeros((0,), jnp.float32))
+            kind=np.zeros((0,), np.int32), color=np.zeros((0, 3), np.float32),
+            position=np.zeros((0, 3), np.float32), direction=np.zeros((0, 3), np.float32),
+            radius=np.zeros((0,), np.float32), const_att=np.zeros((0,), np.float32),
+            lin_att=np.zeros((0,), np.float32), quad_att=np.zeros((0,), np.float32),
+            verts=np.zeros((0, 4, 3), np.float32), size=np.zeros((0, 2), np.float32),
+            inner_angle=np.zeros((0,), np.float32), outer_angle=np.zeros((0,), np.float32))
     cols = list(zip(*rows))
     return LightPack(
-        kind=jnp.asarray(np.asarray(cols[0]), jnp.int32),
+        kind=_as_i32(np.asarray(cols[0])),
         color=_as_f32(np.stack(cols[1])), position=_as_f32(np.stack(cols[2])),
         direction=_as_f32(np.stack(cols[3])), radius=_as_f32(np.asarray(cols[4])),
         const_att=_as_f32(np.asarray(cols[5])), lin_att=_as_f32(np.asarray(cols[6])),

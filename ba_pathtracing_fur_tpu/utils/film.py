@@ -20,8 +20,8 @@ def to_srgb_u8(img: np.ndarray, gamma: float = 2.2) -> np.ndarray:
     return (img * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path: str, img: np.ndarray, gamma: float = 2.2) -> None:
-    """Write [H,W,3] float (linear) or uint8 image as PNG."""
+def encode_png(img: np.ndarray, gamma: float = 2.2) -> bytes:
+    """Encode [H,W,3] float (linear) or uint8 image as PNG bytes."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         a = to_srgb_u8(a, gamma)
@@ -35,10 +35,19 @@ def write_png(path: str, img: np.ndarray, gamma: float = 2.2) -> None:
         return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
-    with open(path, "wb") as f:
-        f.write(png)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path, img: np.ndarray, gamma: float = 2.2) -> None:
+    """Write [H,W,3] float (linear) or uint8 image as PNG. `path` may be a
+    filesystem path or a binary file-like object."""
+    png = encode_png(img, gamma)
+    if hasattr(path, "write"):
+        path.write(png)
+    else:
+        with open(path, "wb") as f:
+            f.write(png)
 
 
 def write_ppm(path: str, img: np.ndarray, gamma: float = 2.2) -> None:

@@ -21,20 +21,10 @@ from typing import Any
 
 import numpy as np
 
-from .film import write_png
-
-
 def _png_bytes(img: np.ndarray, gamma: float = 2.2) -> bytes:
-    import tempfile
+    from .film import encode_png
 
-    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
-        path = f.name
-    try:
-        write_png(path, img, gamma=gamma)
-        with open(path, "rb") as f:
-            return f.read()
-    finally:
-        os.unlink(path)
+    return encode_png(img, gamma=gamma)
 
 
 class RenderReport:
@@ -88,9 +78,11 @@ class RenderReport:
         return path
 
     def write_json_sidecar(self, path: str) -> str:
-        """Machine-readable twin of the panels (jsonout.cpp-style mirror)."""
+        """Machine-readable twin of the panels (jsonout.cpp-style mirror).
+        Panels are a list of [name, values] pairs — duplicate panel names
+        render separately in the HTML and must survive here too (ADVICE r1)."""
         payload = {"title": self.title, "created": self._created,
-                   "panels": {n: v for n, v in self._panels},
+                   "panels": [[n, v] for n, v in self._panels],
                    "images": [n for n, _, _ in self._images]}
         with open(path, "w") as f:
             json.dump(payload, f, indent=2, default=str)

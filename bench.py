@@ -1,13 +1,22 @@
-"""Headline benchmark: rays/s on BASELINE.json config 1 (Cornell 256^2,
-64 spp, 4 bounces).
+"""Headline benchmark: rays/s + MFU on the BASELINE.json configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-The reference publishes no numbers (BASELINE.md): its README defers to a
-dead wiki. `vs_baseline` is therefore measured against a nominal
+Prints ONE JSON line with the headline metric (config-1 Cornell rays/s, the
+metric tracked since round 1) plus a `configs` table covering BASELINE
+configs 1-5. The reference publishes no numbers (BASELINE.md): its README
+defers to a dead wiki. `vs_baseline` is therefore measured against a nominal
 KIRK-class CPU path tracer throughput of 5e6 rays/s (single node,
 thread-pooled, BVH — the workload class of Demo/main.cpp defaults), which
 is the figure this project's self-generated baseline replaces.
+
+MFU here = XLA cost-analysis FLOPs / wall / chip peak (bf16 systolic peak
+from the device kind). A ray tracer is VPU/gather-bound, not MXU-bound, so
+single-digit MFU is expected — the number is tracked to catch regressions
+and to compare kernel variants, not to approach 1.0.
+
+Env knobs:
+  BENCH_SMOKE=1     tiny shapes (CI smoke)
+  BENCH_CONFIGS=1,4 comma-separated subset (default "1,2,3,4,5")
+  BENCH_HAIRBALL_FIBERS / BENCH_HAIRBALL_SPP override config 5's scale
 """
 
 from __future__ import annotations
@@ -19,44 +28,182 @@ import time
 
 REFERENCE_CPU_RAYS_PER_S = 5.0e6
 
+# bf16 MXU peak FLOP/s by device kind (public spec sheets); fallback 1e14.
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def main() -> None:
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 1.0e14
+
+
+def _measure(fn, args, rays: int, peak: float):
+    """Compile, warm, time; returns dict(rays_per_s, mfu, wall_s, flops)."""
+    import jax
+
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    flops = float(cost.get("flops", 0.0))
+
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+    return {
+        "rays_per_s": rays / wall,
+        "mfu": (flops / wall / peak) if flops else 0.0,
+        "wall_s": wall,
+        "flops": flops,
+    }
+
+
+def bench_cornell(smoke, peak, variant="diffuse"):
+    """Configs 1 and 2."""
     import jax
 
     from ba_pathtracing_fur_tpu.models.pathtracer import RenderConfig, render_image
     from ba_pathtracing_fur_tpu.scene.builtins import cornell_box
+    from ba_pathtracing_fur_tpu.scene.types import to_device
 
-    smoke = os.environ.get("BENCH_SMOKE") == "1"
-    res = (64, 64) if smoke else (256, 256)
-    spp = 4 if smoke else 64
-    depth = 4
+    if variant == "diffuse":
+        res, spp, depth, batch, mis = (64, 64) if smoke else (256, 256), \
+            4 if smoke else 64, 4, 2 if smoke else 16, False
+    else:
+        res, spp, depth, batch, mis = (64, 64) if smoke else (512, 512), \
+            4 if smoke else 128, 4, 2 if smoke else 4, True
 
-    scene, camera = cornell_box(resolution=res)
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=res[0] * res[1])
+    scene, camera = cornell_box(resolution=res, variant=variant)
+    scene = to_device(scene)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=res[0] * res[1] * batch,
+                       spp_batch=batch, mis=mis, rr=mis)
     key = jax.random.key(0)
-
-    # compile + warm-up
-    img = render_image(scene, camera, key, cfg)
-    jax.block_until_ready(img)
-
-    t0 = time.perf_counter()
-    img = render_image(scene, camera, key, cfg)
-    jax.block_until_ready(img)
-    dt = time.perf_counter() - t0
-
-    # path segments traced: one scene-intersection per pixel per sample per
-    # bounce (shadow rays excluded — conservative).
     rays = res[0] * res[1] * spp * depth
-    rays_per_s = rays / dt
+    m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
+                 rays, peak)
+    m.update(res=list(res), spp=spp, depth=depth, spp_batch=batch)
+    return m
 
-    print(json.dumps({
-        "metric": "cornell_256_64spp_rays_per_s" if not smoke else "cornell_smoke_rays_per_s",
-        "value": round(rays_per_s, 1),
+
+def bench_tri_scene(smoke, peak):
+    """Config 3: BVH over ~100k triangles (textured OBJ-class scene)."""
+    import jax
+
+    from ba_pathtracing_fur_tpu.models.pathtracer import RenderConfig, render_image
+    from ba_pathtracing_fur_tpu.ops import traverse
+    from ba_pathtracing_fur_tpu.scene.builtins import tri_terrain
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+
+    res = (64, 64) if smoke else (512, 512)
+    spp = 2 if smoke else 16
+    depth, batch = 4, 1 if smoke else 4
+    n = 2000 if smoke else 100_000
+    scene, camera = tri_terrain(resolution=res, n_tris=n)
+    scene = traverse.attach_bvh(scene, method="sah")
+    scene = to_device(scene)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=16384, spp_batch=batch)
+    key = jax.random.key(0)
+    rays = res[0] * res[1] * spp * depth
+    m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
+                 rays, peak)
+    m.update(res=list(res), spp=spp, depth=depth, n_tris=scene.tris.count)
+    return m
+
+
+def bench_fur(smoke, peak, n_fibers, res, spp, name):
+    """Configs 4 (fur patch) and 5 (hair ball)."""
+    import jax
+
+    from ba_pathtracing_fur_tpu.models.pathtracer import RenderConfig, render_image
+    from ba_pathtracing_fur_tpu.ops import traverse
+    from ba_pathtracing_fur_tpu.scene import builtins
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+
+    depth = 4
+    if name == "fur_patch":
+        fpf = max(n_fibers // 2, 1)
+        scene, camera = builtins.fur_patch(resolution=res, fibers_per_face=fpf)
+    else:
+        scene, camera = builtins.hair_ball(resolution=res, n_fibers=n_fibers)
+    t0 = time.perf_counter()
+    scene = traverse.attach_bvh(scene, method="median")
+    build_s = time.perf_counter() - t0
+    scene = to_device(scene)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=16384)
+    key = jax.random.key(0)
+    rays = res[0] * res[1] * spp * depth
+    m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
+                 rays, peak)
+    m.update(res=list(res), spp=spp, depth=depth, n_cones=scene.cones.count,
+             bvh_build_s=round(build_s, 2))
+    return m
+
+
+def main() -> None:
+    import jax
+
+    dev = jax.devices()[0]
+    peak = _peak_flops(dev)
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    which = set((os.environ.get("BENCH_CONFIGS") or "1,2,3,4,5").split(","))
+
+    results = {}
+    t_start = time.perf_counter()
+    if "1" in which:
+        results["cornell_diffuse"] = bench_cornell(smoke, peak, "diffuse")
+    if "2" in which:
+        results["cornell_glossy_mis"] = bench_cornell(smoke, peak, "glossy")
+    if "3" in which:
+        results["tri_100k_bvh"] = bench_tri_scene(smoke, peak)
+    if "4" in which:
+        n = 200 if smoke else 5000
+        results["fur_patch"] = bench_fur(
+            smoke, peak, n, (64, 64) if smoke else (512, 512),
+            2 if smoke else 8, "fur_patch")
+    if "5" in which:
+        n = int(os.environ.get("BENCH_HAIRBALL_FIBERS",
+                               "2000" if smoke else "1000000"))
+        spp = int(os.environ.get("BENCH_HAIRBALL_SPP", "1" if smoke else "4"))
+        results["hair_ball_1m"] = bench_fur(
+            smoke, peak, n, (64, 64) if smoke else (1024, 1024), spp,
+            "hair_ball")
+
+    head = results.get("cornell_diffuse") or next(iter(results.values()))
+    line = {
+        "metric": ("cornell_smoke_rays_per_s" if smoke
+                   else "cornell_256_64spp_rays_per_s"),
+        "value": round(head["rays_per_s"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / REFERENCE_CPU_RAYS_PER_S, 3),
-    }))
-    print(f"# wall={dt:.3f}s device={jax.devices()[0].platform} "
-          f"res={res} spp={spp} depth={depth}", file=sys.stderr)
+        "vs_baseline": round(head["rays_per_s"] / REFERENCE_CPU_RAYS_PER_S, 3),
+        "configs": {
+            k: {"rays_per_s": round(v["rays_per_s"], 1),
+                "mfu": round(v["mfu"], 5),
+                "wall_s": round(v["wall_s"], 3),
+                **{kk: v[kk] for kk in ("res", "spp", "depth", "n_cones",
+                                        "n_tris", "bvh_build_s")
+                   if kk in v}}
+            for k, v in results.items()
+        },
+        "device": getattr(dev, "device_kind", dev.platform),
+        "peak_flops": peak,
+        "total_bench_s": round(time.perf_counter() - t_start, 1),
+    }
+    print(json.dumps(line))
+    for k, v in results.items():
+        print(f"# {k}: {v['rays_per_s']/1e6:.2f}M rays/s  mfu={v['mfu']:.4f} "
+              f"wall={v['wall_s']:.2f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -54,8 +54,9 @@ def test_fit_recovers_wall_color():
     from ba_pathtracing_fur_tpu.models.pathtracer import render_image
     target = render_image(scene, camera, key, CFG)
     mats = scene.materials
-    wrong = scene.replace(materials=mats.replace(
-        diffuse=mats.diffuse.at[1].set(jnp.array([0.2, 0.6, 0.6]))))
+    wrong_diffuse = np.array(mats.diffuse)
+    wrong_diffuse[1] = (0.2, 0.6, 0.6)
+    wrong = scene.replace(materials=mats.replace(diffuse=wrong_diffuse))
     res = diff.fit(wrong, camera, target, CFG, steps=30, lr=5e-2, key=key)
     # stochastic 1-spp gradients: expect a clear decrease, not convergence
     assert res.losses[-1] < res.losses[0] * 0.7
