@@ -45,6 +45,12 @@ from . import intersect as isect
 INF = isect.INF
 BIG = jnp.float32(3.0e37)
 
+#: Rounds each ray gets in traversal pass 1 before the survivor compaction
+#: (multi-chunk wavefronts only). Most rays finish well inside this budget
+#: (measured: primary fur rays ~4 mean / ~16 max cluster visits); the
+#: divergent tail is compacted and finished densely in pass 2.
+PASS1_ROUNDS = 12
+
 
 # ---------------------------------------------------------------------------
 # Morton codes
@@ -179,7 +185,10 @@ def pack_tris(tris: TrianglePack, bvh: BVH) -> BVH:
 
 def pack_cones(cones: ConePack, bvh: BVH) -> BVH:
     """Pack the (already reordered) cone pack for traversal:
-    [C, 16, K] = (base, u, v, w per component, slope, r_base, min_d, max_d)."""
+    [C, 16, K] = (base, u, v, w per component, slope, r_base, min_d, max_d).
+    (A 13-wide layout reconstructing w = u x v in-kernel saves ~19% gather
+    traffic but is NOT bit-identical to the oracle's stored w under FMA
+    contraction, flipping near-tangent winners — rejected.)"""
     xp = _xp(cones.base)
     k = bvh.leaf_size
     comps = [cones.base[:, 0], cones.base[:, 1], cones.base[:, 2],
@@ -482,7 +491,23 @@ def _slab_grid(o, inv_d, bmin, bmax, t_max):
     return jnp.where(hit, tnear, INF)
 
 
-def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit, max_rounds):
+def _empty_state(r):
+    """Resumable per-ray traversal cursor (see _traverse_chunk*): because
+    min-extraction consumes boxes in increasing entry order, 'which boxes
+    were already visited' compresses to the LAST consumed entry distance —
+    6 scalars per ray instead of the [R, S] masked grids."""
+    return {
+        "t_best": jnp.full((r,), INF),
+        "row_best": jnp.full((r,), -1, jnp.int32),
+        "alive": jnp.zeros((r,), bool),
+        "sup_cut": jnp.full((r,), -INF),  # entries < sup_cut are consumed
+        "cur_sid": jnp.full((r,), -1, jnp.int32),
+        "child_cut": jnp.full((r,), -INF),
+    }
+
+
+def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit,
+                    max_rounds, resume=None):
     """Flat culled-cluster traversal for one ray chunk. See `traverse`.
 
     Min-EXTRACTION schedule, not a sort: each round every ray takes the
@@ -491,7 +516,11 @@ def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit, max_rounds):
     sweep — the extracted minimum IS the next cluster in entry order — but
     avoids XLA's TPU sort, which costs ~100x a vector min pass at these
     shapes (measured: [16k, 256] f32 sort ≈ 20 ms vs ≈ 0.2 ms for the
-    argmin+mask round)."""
+    argmin+mask round).
+
+    `resume` (from a bounded-round earlier pass) restarts exactly: consumed
+    clusters are those with entry < sup_cut (a tie at the cutoff may be
+    re-visited — wasted work, never a wrong result)."""
     r = o.shape[0]
     n_c = bvh.n_leaves
     k = bvh.leaf_size
@@ -499,8 +528,21 @@ def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit, max_rounds):
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
 
+    if resume is None:
+        t_best0 = t_max
+        row_best0 = jnp.full((r,), -1, jnp.int32)
+        alive0 = jnp.ones((r,), bool)
+        cut0 = jnp.full((r,), -INF)
+    else:
+        t_best0 = resume["t_best"]
+        row_best0 = resume["row_best"]
+        alive0 = resume["alive"]
+        cut0 = resume["sup_cut"]
+
     # Phase 1 (dense): entry distance to every cluster box. [R, C]
-    tn = _slab_grid(o, inv_d, bvh.bmin[leaf_base:], bvh.bmax[leaf_base:], t_max)
+    tn = _slab_grid(o, inv_d, bvh.bmin[leaf_base:], bvh.bmax[leaf_base:],
+                    t_best0)
+    tn = jnp.where(tn < cut0[:, None], INF, tn)  # consumed in earlier pass
     col = jnp.arange(n_c, dtype=jnp.int32)[None]
 
     if max_rounds is None:
@@ -508,14 +550,15 @@ def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit, max_rounds):
     max_rounds = jnp.int32(min(max_rounds, n_c))
 
     def cond(carry):
-        rnd, tn, t_best, row_best, alive = carry
+        rnd, tn, t_best, row_best, alive, cut = carry
         return (rnd < max_rounds) & jnp.any(alive)
 
     def body(carry):
-        rnd, tn, t_best, row_best, alive = carry
+        rnd, tn, t_best, row_best, alive, cut = carry
         j = jnp.argmin(tn, axis=-1).astype(jnp.int32)  # nearest unvisited
         ct = _take1(tn, j)
         alive = alive & (ct < t_best)  # sorted-order prune: rest only farther
+        cut = jnp.where(alive, ct, cut)
         t_cand = leaf_fn(o, d, j, t_min, t_best)  # [R, k]
         t_cand = jnp.where(alive[:, None], t_cand, INF)
         jj = jnp.argmin(t_cand, axis=-1)
@@ -526,13 +569,14 @@ def _traverse_chunk(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit, max_rounds):
         tn = jnp.where(col == j[:, None], INF, tn)  # mark visited
         if any_hit:
             alive = alive & ~(row_best >= 0)
-        return rnd + 1, tn, t_best, row_best, alive
+        return rnd + 1, tn, t_best, row_best, alive, cut
 
-    init = (jnp.int32(0), tn, t_max, jnp.full((r,), -1, jnp.int32),
-            jnp.ones((r,), bool))
+    init = (jnp.int32(0), tn, t_best0, row_best0, alive0, cut0)
     out = jax.lax.while_loop(cond, body, init)
-    t_best, row_best = out[2], out[3]
-    return t_best, row_best, row_best >= 0
+    _, _, t_best, row_best, alive, cut = out
+    state = _empty_state(r)
+    state.update(t_best=t_best, row_best=row_best, alive=alive, sup_cut=cut)
+    return t_best, row_best, row_best >= 0, state
 
 
 def _slab_grouped(o, inv_d, bmin_g, bmax_g, t_best):
@@ -556,7 +600,7 @@ def _take1(arr2d, idx):
 
 
 def _traverse_chunk_hier(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit,
-                         max_rounds):
+                         max_rounds, resume=None):
     """Two-level culled-cluster traversal for one ray chunk.
 
     The flat scheme's phase 1 materializes an O(R·C) entry grid — fine to
@@ -582,28 +626,54 @@ def _traverse_chunk_hier(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit,
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
 
-    # Phase 1 (dense, once): entry distance to every SUPER box. NO sort —
-    # supers and children are consumed by min-extraction (see
-    # _traverse_chunk on why sorting loses by ~100x on TPU).
-    sup_t = _slab_grid(o, inv_d, bvh.bmin[sup_base:sup_base + s],
-                       bvh.bmax[sup_base:sup_base + s], t_max)  # [R, S]
-
     # child (leaf-cluster) boxes grouped per super: contiguous heap rows
     cb_min = bvh.bmin[leaf_base:leaf_base + n_c].reshape(s, f, 3)
     cb_max = bvh.bmax[leaf_base:leaf_base + n_c].reshape(s, f, 3)
 
+    if resume is None:
+        t_best0 = t_max
+        row_best0 = jnp.full((r,), -1, jnp.int32)
+        alive0 = jnp.ones((r,), bool)
+        sup_cut0 = jnp.full((r,), -INF)
+        cur_sid0 = jnp.full((r,), -1, jnp.int32)
+        child_cut0 = jnp.full((r,), -INF)
+    else:
+        t_best0 = resume["t_best"]
+        row_best0 = resume["row_best"]
+        alive0 = resume["alive"]
+        sup_cut0 = resume["sup_cut"]
+        cur_sid0 = resume["cur_sid"]
+        child_cut0 = resume["child_cut"]
+
+    # Phase 1 (dense, once): entry distance to every SUPER box. NO sort —
+    # supers and children are consumed by min-extraction (see
+    # _traverse_chunk on why sorting loses by ~100x on TPU).
+    sup_t = _slab_grid(o, inv_d, bvh.bmin[sup_base:sup_base + s],
+                       bvh.bmax[sup_base:sup_base + s], t_best0)  # [R, S]
+    scol = jnp.arange(s, dtype=jnp.int32)[None]
+    fcol = jnp.arange(f, dtype=jnp.int32)[None]
+    # resume: supers consumed before (entry strictly below the cutoff, plus
+    # the in-progress one); a tie at the cutoff is re-visited — waste only
+    sup_t = jnp.where((sup_t < sup_cut0[:, None])
+                      | (scol == cur_sid0[:, None]), INF, sup_t)
+    # rebuild the in-progress super's remaining children
+    sid0 = jnp.maximum(cur_sid0, 0)
+    tn_c0 = _slab_grouped(o, inv_d, cb_min[sid0], cb_max[sid0], t_best0)
+    tn_c0 = jnp.where(tn_c0 < child_cut0[:, None], INF, tn_c0)
+    child_t0 = jnp.where((cur_sid0 >= 0)[:, None], tn_c0, INF)
+
     if max_rounds is None:
         max_rounds = s + n_c  # every super + every cluster once (safe bound)
     max_rounds = jnp.int32(max_rounds)
-    scol = jnp.arange(s, dtype=jnp.int32)[None]
-    fcol = jnp.arange(f, dtype=jnp.int32)[None]
 
     def cond(c):
-        rnd, t_best, row_best, sup_t, child_t, cur_sid, alive = c
+        (rnd, t_best, row_best, sup_t, child_t, cur_sid, alive, sup_cut,
+         child_cut) = c
         return (rnd < max_rounds) & jnp.any(alive)
 
     def body(c):
-        rnd, t_best, row_best, sup_t, child_t, cur_sid, alive = c
+        (rnd, t_best, row_best, sup_t, child_t, cur_sid, alive, sup_cut,
+         child_cut) = c
         # 1. rays whose current super has no remaining useful child advance
         #    to the nearest unvisited super; if even that can't beat the
         #    best hit, the ray is done (entries only grow, best only drops).
@@ -616,10 +686,13 @@ def _traverse_chunk_hier(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit,
         alive = alive & (~need_sup | expand)
         sup_t = jnp.where((need_sup[:, None]) & (scol == smin_idx[:, None]),
                           INF, sup_t)  # mark visited
+        sup_cut = jnp.where(expand, smin, sup_cut)
+        child_cut = jnp.where(expand, -INF, child_cut)
         cur_sid = jnp.where(expand, smin_idx, cur_sid)
 
         # 2. expand: slab-test the new super's F children
-        tn_c = _slab_grouped(o, inv_d, cb_min[cur_sid], cb_max[cur_sid], t_best)
+        tn_c = _slab_grouped(o, inv_d, cb_min[jnp.maximum(cur_sid, 0)],
+                             cb_max[jnp.maximum(cur_sid, 0)], t_best)
         child_t = jnp.where(expand[:, None], tn_c, child_t)
 
         # 3. visit the nearest remaining child cluster (same round as the
@@ -627,7 +700,8 @@ def _traverse_chunk_hier(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit,
         cmin_idx = jnp.argmin(child_t, axis=-1).astype(jnp.int32)
         cmin = _take1(child_t, cmin_idx)
         active = alive & (cmin < t_best)
-        cl = cur_sid * f + cmin_idx
+        child_cut = jnp.where(active, cmin, child_cut)
+        cl = jnp.maximum(cur_sid, 0) * f + cmin_idx
         t_cand = leaf_fn(o, d, cl, t_min, t_best)  # [R, k]
         t_cand = jnp.where(active[:, None], t_cand, INF)
         j = jnp.argmin(t_cand, axis=-1)
@@ -639,14 +713,16 @@ def _traverse_chunk_hier(bvh: BVH, o, d, leaf_fn, t_min, t_max, any_hit,
                             INF, child_t)
         if any_hit:
             alive = alive & ~(row_best >= 0)
-        return rnd + 1, t_best, row_best, sup_t, child_t, cur_sid, alive
+        return (rnd + 1, t_best, row_best, sup_t, child_t, cur_sid, alive,
+                sup_cut, child_cut)
 
-    init = (jnp.int32(0), t_max, jnp.full((r,), -1, jnp.int32), sup_t,
-            jnp.full((r, f), INF), jnp.zeros((r,), jnp.int32),
-            jnp.ones((r,), bool))
+    init = (jnp.int32(0), t_best0, row_best0, sup_t, child_t0, cur_sid0,
+            alive0, sup_cut0, child_cut0)
     out = jax.lax.while_loop(cond, body, init)
-    t_best, row_best = out[1], out[2]
-    return t_best, row_best, row_best >= 0
+    (_, t_best, row_best, _, _, cur_sid, alive, sup_cut, child_cut) = out
+    state = {"t_best": t_best, "row_best": row_best, "alive": alive,
+             "sup_cut": sup_cut, "cur_sid": cur_sid, "child_cut": child_cut}
+    return t_best, row_best, row_best >= 0, state
 
 
 def traverse(bvh: BVH, o, d, leaf_fn: Callable, t_min, t_max,
@@ -678,33 +754,76 @@ def traverse(bvh: BVH, o, d, leaf_fn: Callable, t_min, t_max,
     chunk_fn = _traverse_chunk_hier if hier else _traverse_chunk
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32)
     if r <= chunk:
-        return chunk_fn(bvh, o, d, leaf_fn, t_min, t_max_arr, any_hit, max_rounds)
+        out = chunk_fn(bvh, o, d, leaf_fn, t_min, t_max_arr, any_hit, max_rounds)
+        return out[0], out[1], out[2]
+
     pad = (-r) % chunk
+    rp = r + pad
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
     d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     t_p = jnp.pad(t_max_arr, (0, pad))
-    starts = jnp.arange(-(-r // chunk), dtype=jnp.int32) * chunk
+    n_chunks = rp // chunk
 
-    def one(args):
-        oo, dd, tt, start = args
-        if n_alive is None:
-            return chunk_fn(bvh, oo, dd, leaf_fn, t_min, tt, any_hit,
-                            max_rounds)
-        # compacted wavefront: whole-dead chunks skip even the dense
-        # phase-1 slab grid (pt_sortHits.compute analog)
-        return jax.lax.cond(
-            start < n_alive,
-            lambda: chunk_fn(bvh, oo, dd, leaf_fn, t_min, tt, any_hit,
-                             max_rounds),
-            lambda: (jnp.full((chunk,), INF), jnp.full((chunk,), -1, jnp.int32),
-                     jnp.zeros((chunk,), bool)))
+    def run_pass(o_f, d_f, t_f, rounds, gate, resume_f):
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        res_c = (None if resume_f is None else
+                 jax.tree.map(lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]),
+                              resume_f))
 
-    out = jax.lax.map(
-        one,
-        (o_p.reshape(-1, chunk, 3), d_p.reshape(-1, chunk, 3),
-         t_p.reshape(-1, chunk), starts),
-    )
-    return tuple(x.reshape(-1)[:r] for x in out)
+        def one(args):
+            oo, dd, tt, start, res = args
+
+            def work():
+                return chunk_fn(bvh, oo, dd, leaf_fn, t_min, tt, any_hit,
+                                rounds, resume=res)
+
+            if gate is None:
+                return work()
+            # compacted wavefront: whole-dead chunks skip even the dense
+            # phase-1 slab grid (pt_sortHits.compute analog)
+            def skip():
+                st = _empty_state(chunk)
+                if res is not None:
+                    st = res
+                return (st["t_best"], st["row_best"],
+                        st["row_best"] >= 0, st)
+
+            return jax.lax.cond(start < gate, work, skip)
+
+        args = (o_f.reshape(-1, chunk, 3), d_f.reshape(-1, chunk, 3),
+                t_f.reshape(-1, chunk), starts)
+        if res_c is None:
+            out = jax.lax.map(lambda a: one(a + (None,)), args)
+        else:
+            out = jax.lax.map(one, args + (res_c,))
+        return jax.tree.map(
+            lambda x: x.reshape((rp,) + x.shape[2:]), out)
+
+    if max_rounds is not None or n_chunks < 2:
+        t, row, found, _ = run_pass(o_p, d_p, t_p, max_rounds, n_alive, None)
+        return t[:r], row[:r], found[:r]
+
+    # Two-pass survivor compaction: pass 1 gives every ray a bounded number
+    # of rounds; unfinished rays (the divergent tail that otherwise holds
+    # ALL lanes of its chunk hostage) are compacted to the front and
+    # finished in as few chunks as they fill — the traversal-level
+    # pt_sortHits analog. Exact: the resume cursor replays the schedule.
+    t1, row1, found1, st1 = run_pass(o_p, d_p, t_p, PASS1_ROUNDS, n_alive,
+                                     None)
+    alive1 = st1["alive"]
+    from .compact import compaction_permutation, invert_permutation
+    perm, n_alive2 = compaction_permutation(alive1)
+    inv = invert_permutation(perm)
+    o_c = o_p[perm]
+    d_c = d_p[perm]
+    t_c = t_p[perm]
+    st_c = jax.tree.map(lambda x: x[perm], st1)
+    t2, row2, found2, _ = run_pass(o_c, d_c, t_c, None, n_alive2, st_c)
+    t2, row2, found2 = t2[inv], row2[inv], found2[inv]
+    t = jnp.where(alive1, t2, t1)
+    row = jnp.where(alive1, row2, row1)
+    found = jnp.where(alive1, found2, found1)
+    return t[:r], row[:r], found[:r]
 
 
 # ---------------------------------------------------------------------------

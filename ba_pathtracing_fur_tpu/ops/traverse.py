@@ -329,7 +329,7 @@ def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     n_alive enables whole-chunk skipping on compacted wavefronts."""
     if _has_bvh(scene):
         return closest_hit_bvh(o, d, scene, t_min, t_max,
-                               chunk=max(chunk, 8192), n_alive=n_alive)
+                               chunk=chunk, n_alive=n_alive)
     if _PALLAS_BRUTEFORCE:
         return closest_hit_pallas(o, d, scene, t_min, t_max)
     return bruteforce.closest_hit(o, d, scene, t_min, t_max, chunk=chunk,
@@ -340,6 +340,6 @@ def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192,
             n_alive=None):
     if _has_bvh(scene):
         return any_hit_bvh(o, d, scene, t_max, t_min,
-                           chunk=max(chunk, 8192), n_alive=n_alive)
+                           chunk=chunk, n_alive=n_alive)
     return bruteforce.any_hit(o, d, scene, t_max, t_min, chunk=chunk,
                               n_alive=n_alive)

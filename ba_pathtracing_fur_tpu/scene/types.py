@@ -325,9 +325,17 @@ def make_cone_pack(base, apex, r_base, r_apex, mat_id, transform=None) -> ConePa
         apex = apex @ m[:3, :3].T + m[:3, 3]
         u = u @ m_ti.T
         v = v @ m_ti.T
-        w = w @ m_ti.T
-        for ax in (u, v, w):
+        for ax in (u, v):
             ax /= np.maximum(np.linalg.norm(ax, axis=-1, keepdims=True), 1e-12)
+
+    # INVARIANT relied on by the packed traversal (ops/bvh.py pack_cones):
+    # w == normalize(cross(u, v)). Identical to the Cylinder-ctor w for
+    # untransformed fibers (w = cross(u, vhat), Cylinder.cpp:5-43); under a
+    # skewing transform this re-orthogonalizes w instead of transforming it
+    # separately (negligible deviation, and oracle + BVH stay bit-identical
+    # because both read THIS w).
+    w = np.cross(u, v)
+    w /= np.maximum(np.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
 
     slope = (r_base - r_apex) / height
     base_d = np.sum(base * v, axis=-1)

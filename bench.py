@@ -113,7 +113,9 @@ def bench_tri_scene(smoke, peak):
     scene, camera = tri_terrain(resolution=res, n_tris=n)
     scene = traverse.attach_bvh(scene, method="sah")
     scene = to_device(scene)
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=16384, spp_batch=batch)
+    # chunk 4096 beats 8k/16k on BVH scenes: smaller chunks cut lockstep
+    # divergence in the while_loop traversal (measured sweep, round 2)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=4096, spp_batch=batch)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
@@ -141,7 +143,7 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
     scene = traverse.attach_bvh(scene, method="median")
     build_s = time.perf_counter() - t0
     scene = to_device(scene)
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=16384)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=4096)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
