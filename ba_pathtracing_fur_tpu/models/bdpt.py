@@ -147,7 +147,7 @@ def build_light_subpaths(scene: DeviceScene, key, samples_per_light: int,
         travel = travel + jnp.where(hit.valid, vm.length(pos_j - o), 0.0)
 
         mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv,
-                                       scene.textures)
+                                       scene.textures, scene.tex_slots)
         u_b = rng.bounce_uniform(keys, j, 2, tag=12)
         bs = bsdf_mod.sample_surface(mp, -d, norm_j, u_b,
                                      jnp.zeros((p,), jnp.int32))

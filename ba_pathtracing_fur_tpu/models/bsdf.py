@@ -57,25 +57,64 @@ class MatParams:
     hair_beta: jnp.ndarray
 
 
-def gather_materials(materials: MaterialTable, mat_id, uv=None, textures=None) -> MatParams:
-    """Fetch the material row per ray; resolve diffuse textures if present
-    (Material::fetchParameterColor equivalent, Material.h:153-216)."""
+#: slots gather_materials can resolve (the ones reference shading consumes)
+CONSUMED_TEX_SLOTS = ("diffuse", "specular", "volume", "emission",
+                      "transparency", "roughness")
+
+
+def gather_materials(materials: MaterialTable, mat_id, uv=None, textures=None,
+                     tex_slots=CONSUMED_TEX_SLOTS) -> MatParams:
+    """Fetch the material row per ray; resolve textured parameter slots
+    (Material::fetchParameterColor / fetchParameterFloat equivalents,
+    Material.h:153-216). A color-slot texture REPLACES the value; a
+    float-slot texture resolves to the length of the fetched RGB
+    (Material.cpp:15-23 — the reference takes length of RGBA; our atlas is
+    RGB, so alpha is dropped). normal/bump textures are carried by the
+    scene but not fetched here — no reference render path consumes them.
+
+    `tex_slots` statically gates which slots pay the bilinear fetch (pass
+    scene.tex_slots — the slots actually textured in the scene)."""
     diffuse = materials.diffuse[mat_id]
-    if textures is not None:
-        tex_id = materials.diffuse_tex[mat_id]
-        has_tex = tex_id >= 0
+    specular = materials.specular[mat_id]
+    volume = materials.volume[mat_id]
+    emission = materials.emission[mat_id]
+    transparency = materials.transparency[mat_id]
+    roughness = materials.roughness[mat_id]
+    if textures is not None and tex_slots:
         from ..scene.texture import fetch_bilinear
-        tex_color = fetch_bilinear(textures, jnp.maximum(tex_id, 0), uv)
-        diffuse = jnp.where(has_tex[:, None], tex_color, diffuse)
+
+        def resolve_color(tex_col, value):
+            tex_id = tex_col[mat_id]
+            c = fetch_bilinear(textures, jnp.maximum(tex_id, 0), uv)
+            return jnp.where((tex_id >= 0)[:, None], c, value)
+
+        def resolve_float(tex_col, value):
+            tex_id = tex_col[mat_id]
+            c = fetch_bilinear(textures, jnp.maximum(tex_id, 0), uv)
+            return jnp.where(tex_id >= 0,
+                             jnp.sqrt(jnp.sum(c * c, axis=-1)), value)
+
+        if "diffuse" in tex_slots:
+            diffuse = resolve_color(materials.diffuse_tex, diffuse)
+        if "specular" in tex_slots:
+            specular = resolve_color(materials.specular_tex, specular)
+        if "volume" in tex_slots:
+            volume = resolve_color(materials.volume_tex, volume)
+        if "emission" in tex_slots:
+            emission = resolve_color(materials.emission_tex, emission)
+        if "transparency" in tex_slots:
+            transparency = resolve_float(materials.transparency_tex, transparency)
+        if "roughness" in tex_slots:
+            roughness = resolve_float(materials.roughness_tex, roughness)
     return MatParams(
         diffuse=diffuse,
-        specular=materials.specular[mat_id],
-        volume=materials.volume[mat_id],
-        emission=materials.emission[mat_id],
+        specular=specular,
+        volume=volume,
+        emission=emission,
         ior=materials.ior[mat_id],
-        transparency=materials.transparency[mat_id],
+        transparency=transparency,
         reflectivity=materials.reflectivity[mat_id],
-        roughness=materials.roughness[mat_id],
+        roughness=roughness,
         bsdf_id=materials.bsdf_id[mat_id],
         shader_id=materials.shader_id[mat_id],
         hair_alpha=materials.hair_alpha[mat_id],

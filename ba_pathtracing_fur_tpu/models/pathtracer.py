@@ -190,7 +190,8 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
         fiber_v=jnp.where(v3, hit.fiber_v, up),
         fiber_w=jnp.where(v3, hit.fiber_w, jnp.array([0.0, 0.0, 1.0])),
     )
-    mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv, scene.textures)
+    mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv,
+                                   scene.textures, scene.tex_slots)
     counter = -vm.normalize(state.direction)
     n = hit.normal
 

@@ -249,7 +249,7 @@ def _trace_shade(scene, o, d, W, w, level, cfg: WhittedConfig):
     color = jnp.where(miss[:, None], W * env_c, 0.0)
 
     mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv,
-                                   scene.textures)
+                                   scene.textures, scene.tex_slots)
     is_hair = (mp.shader_id == 1) & hit.valid & live
     is_surf = hit.valid & live & ~is_hair
 
@@ -341,7 +341,7 @@ def record_hair_paths(scene: DeviceScene, o, d,
     (getInRays/getNormalRays/getOutRays, Simple_CPU_Raytracer.h:91-101)."""
     hit = traverse.closest_hit(o, d, scene, chunk=cfg.ray_chunk)
     mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv,
-                                   scene.textures)
+                                   scene.textures, scene.tex_slots)
     nin = vm.normalize(d)
     valid = hit.valid & (mp.shader_id == 1)
     normal = hit.normal

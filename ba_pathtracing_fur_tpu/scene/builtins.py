@@ -138,7 +138,15 @@ def tri_terrain(resolution=(512, 512), n_tris=100_000, seed=0):
     cz = ((v0[:, 2] + 1) * 4).astype(np.int64)
     mat = ((cx + cz) % 2).astype(np.int64)
 
-    mats = [dict(name="ground_a", diffuse=(0.65, 0.55, 0.40), bsdf=BSDF_LAMBERT),
+    # procedural diffuse texture on material A (config 3 is the "textured
+    # OBJ" workload — every ray pays the atlas bilinear fetch)
+    ty, tx = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    tex = np.stack([0.4 + 0.3 * np.sin(tx / 9.0) * np.sin(ty / 7.0),
+                    0.45 + 0.2 * np.sin(tx / 13.0 + 1.0),
+                    0.35 + 0.2 * np.sin(ty / 11.0 + 2.0)],
+                   axis=-1).astype(np.float32)
+    mats = [dict(name="ground_a", diffuse=(0.65, 0.55, 0.40),
+                 bsdf=BSDF_LAMBERT, diffuse_tex=0),
             dict(name="ground_b", diffuse=(0.30, 0.45, 0.25), bsdf=BSDF_LAMBERT)]
     pack = make_triangle_pack(v0, v1, v2, uv0=uvs(v0), uv1=uvs(v1),
                               uv2=uvs(v2), mat_id=mat)
@@ -148,12 +156,14 @@ def tri_terrain(resolution=(512, 512), n_tris=100_000, seed=0):
         dict(kind="quad", color=(6.0, 6.0, 6.0), position=(0.0, 1.6, 0.0),
              direction=(0.0, -1.0, 0.0), size=(0.8, 0.8)),
     ])
+    from .texture import build_atlas
     mat_table = make_material_table(mats)
     scene = DeviceScene(
         tris=pack, cones=empty_cone_pack(), materials=mat_table,
         lights=lights,
         env=Environment(color=np.asarray((0.25, 0.3, 0.4), np.float32),
                         ambient=np.asarray((0.05, 0.05, 0.05), np.float32)),
+        textures=build_atlas([tex]), tex_slots=("diffuse",),
         has_hair=False,
     )
     cam = make_camera(position=(0.0, 0.9, 1.8), look_at=(0.0, -0.1, -1.0),

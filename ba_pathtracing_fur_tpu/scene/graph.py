@@ -42,6 +42,10 @@ class HostMesh:
     uvs: Optional[np.ndarray] = None  # [V,2]
     face_material: Optional[np.ndarray] = None  # [F] local material slot
     material_ids: Optional[List[int]] = None  # slot -> scene material index
+    # per-slot material dicts from the mesh file (.mtl), used when the node
+    # doesn't override with material_ids (createMeshFromAi, SceneGraph.cpp:
+    # 145-180 — every Assimp slot becomes a scene material)
+    material_defs: Optional[List[dict]] = None
     fur: Optional[mesh_mod.FurFibers] = None
     fur_material_id: Optional[int] = None
     name: str = "mesh"
@@ -141,6 +145,9 @@ class SceneGraph:
         self.environment: dict = {"color": (0.0, 0.0, 0.0),
                                   "ambient": (0.0, 0.0, 0.0)}
         self.materials: List[dict] = []
+        # fur growth parameters (the "Fur" JSON extension) — recorded so
+        # save_scene_json can round-trip them
+        self.fur: Optional[dict] = None
 
     # -- iteration ---------------------------------------------------------
     def nodes(self):
@@ -169,6 +176,9 @@ class SceneGraph:
                                      fiber_verts: int, fiber_radius: float,
                                      seed: int = 0) -> None:
         """SceneGraph::addFurFibersToAllMeshes (SceneGraph.cpp:315-321)."""
+        self.fur = dict(fibers_per_face=fibers_per_face,
+                        fiber_verts=fiber_verts, radius=fiber_radius,
+                        seed=seed)
         for m, _ in self.meshes():
             m.add_fur_to_faces(fibers_per_face, fiber_verts, fiber_radius, seed)
 
@@ -180,6 +190,58 @@ class SceneGraph:
 # fur material defaults (CPU_Scene.cpp:115-117)
 FUR_MATERIAL = dict(name="Fiber_Mat", diffuse=(0.545, 0.353, 0.169), ior=1.55,
                     bsdf="MarschnerHairBSDF")
+
+#: slots whose images are display-encoded (decoded sRGB→linear at load —
+#: a deliberate fix over the reference, which samples bytes raw and then
+#: gamma-encodes the output, double-brightening textures); the rest are
+#: data maps read linearly.
+_COLOR_SLOTS = ("diffuse", "specular", "volume", "emission")
+
+
+def _resolve_material_textures(materials: list) -> tuple:
+    """Load every `{slot}_map` image referenced by the material dicts into
+    one TextureAtlas and write the corresponding `{slot}_tex` indices —
+    the load-time half of Material::fetchParameterColor (Material.h:60-78;
+    texture refs parsed from JSON at jsonin.cpp:403-465 and from .mtl via
+    scene/obj.py). Map values may be file paths or in-memory [H,W,3]
+    arrays. Returns (TextureAtlas | None, tex_slots tuple)."""
+    from ..utils import film
+    from .types import TEXTURE_SLOTS
+    from .texture import build_atlas
+
+    images: list = []
+    index: dict = {}  # cache key -> atlas index
+    used: set = set()
+
+    def load(value, gamma: float):
+        if isinstance(value, str):
+            key = (value, gamma)
+            if key not in index:
+                img = film.read_image(value, gamma)
+                if img is None:
+                    return None
+                index[key] = len(images)
+                images.append(img)
+            return index[key]
+        key = (id(value), gamma)
+        if key not in index:
+            index[key] = len(images)
+            images.append(np.asarray(value, np.float32))
+        return index[key]
+
+    for m in materials:
+        for slot in TEXTURE_SLOTS:
+            val = m.get(f"{slot}_map")
+            if val is None:
+                continue
+            gamma = 2.2 if slot in _COLOR_SLOTS else 1.0
+            idx = load(val, gamma)
+            if idx is not None:
+                m[f"{slot}_tex"] = idx
+                used.add(slot)
+    if not images:
+        return None, ()
+    return build_atlas(images), tuple(s for s in TEXTURE_SLOTS if s in used)
 
 
 def flatten(graph: SceneGraph, fiber_as_cylinder: bool = True,
@@ -221,9 +283,28 @@ def flatten(graph: SceneGraph, fiber_as_cylinder: bool = True,
             tri_n0.append(n[f[:, 0]]); tri_n1.append(n[f[:, 1]]); tri_n2.append(n[f[:, 2]])
             uv = m.uvs if m.uvs is not None else np.zeros((v.shape[0], 2), np.float32)
             tri_uv0.append(uv[f[:, 0]]); tri_uv1.append(uv[f[:, 1]]); tri_uv2.append(uv[f[:, 2]])
-            slots = m.material_ids if m.material_ids is not None else [0]
+            if m.material_ids is not None:
+                slots = m.material_ids
+            elif m.material_defs:
+                # mesh-file materials become scene materials, deduped by
+                # name across meshes sharing a .mtl
+                slots = []
+                for d in m.material_defs:
+                    nm = d.get("name")
+                    idx = next((i for i, e in enumerate(materials)
+                                if nm and e.get("name") == nm), None)
+                    if idx is None:
+                        idx = len(materials)
+                        materials.append(dict(d))
+                    slots.append(idx)
+            else:
+                slots = [0]
             fm = (m.face_material if m.face_material is not None
                   else np.zeros(len(f), np.int64))
+            # a node-level material_id list may be shorter than the mesh's
+            # slot count (e.g. one scene material for all .mtl slots) —
+            # clamp rather than crash
+            fm = np.minimum(fm, len(slots) - 1)
             tri_mat.append(np.asarray(slots)[fm])
             eye = np.tile(np.eye(3, dtype=np.float32)[None], (len(f), 1, 1))
             tri_fu.append(eye[:, 0]); tri_fv.append(eye[:, 1]); tri_fw.append(eye[:, 2])
@@ -298,10 +379,12 @@ def flatten(graph: SceneGraph, fiber_as_cylinder: bool = True,
         texture=env_cfg.get("texture"),
     )
 
+    atlas, tex_slots = _resolve_material_textures(materials)
     mat_table = make_material_table(materials)
     scene = DeviceScene(tris=tris, cones=cones,
                         materials=mat_table,
                         lights=make_light_pack(lights), env=env,
+                        textures=atlas, tex_slots=tex_slots,
                         has_hair=scene_has_hair(mat_table))
 
     cam = None

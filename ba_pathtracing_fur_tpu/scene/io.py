@@ -93,7 +93,10 @@ def load_scene_json(path: str) -> SceneGraph:
 
     graph = SceneGraph()
 
-    # Materials: by-value or by-path indirection (jsonin.cpp:371-386)
+    # Materials: by-value or by-path indirection (jsonin.cpp:371-386);
+    # *_map texture refs (jsonin.cpp:403-465) are resolved to absolute
+    # paths here and loaded into the atlas at flatten time.
+    from .types import TEXTURE_SLOTS
     for m in data.get("Material", []):
         if "path" in m:
             try:
@@ -101,7 +104,12 @@ def load_scene_json(path: str) -> SceneGraph:
                     m = json.load(mf)
             except OSError:
                 m = {"name": "default"}
-        graph.materials.append(dict(m))
+        m = dict(m)
+        for slot in TEXTURE_SLOTS:
+            p = m.get(f"{slot}_map")
+            if isinstance(p, str) and p:
+                m[f"{slot}_map"] = os.path.join(directory, p)
+        graph.materials.append(m)
 
     meshes = [_load_mesh_entry(e, directory) for e in data.get("Mesh", [])]
 
@@ -124,9 +132,16 @@ def load_scene_json(path: str) -> SceneGraph:
             node = SceneNode(_parse_light(entry), LIGHT, transform=xf, name=name)
         elif kind == "mesh":
             mesh = meshes[int(entry["mesh_id"])]
-            mat_id = entry.get("material_id", 0)
-            ids = list(mat_id) if isinstance(mat_id, list) else [int(mat_id)]
-            mesh.material_ids = ids
+            if "material_id" in entry:
+                # node-level override (jsonin.cpp mesh nodes reference scene
+                # materials); absent, the mesh file's own .mtl materials
+                # flow through flatten (createMeshFromAi semantics)
+                mat_id = entry["material_id"]
+                ids = (list(mat_id) if isinstance(mat_id, list)
+                       else [int(mat_id)])
+                mesh.material_ids = ids
+            elif not getattr(mesh, "material_defs", None):
+                mesh.material_ids = [0]
             node = SceneNode(mesh, MESH, transform=xf, name=name)
         else:
             raise ValueError(f"unknown node object kind: {kind}")
@@ -143,9 +158,28 @@ def load_scene_json(path: str) -> SceneGraph:
         from ..utils import film
         img = film.read_image(os.path.join(directory, env["path"]))
         if img is not None:
-            import jax.numpy as jnp
             graph.environment["kind"] = 1  # ENV_SPHERE_MAP
-            graph.environment["texture"] = jnp.asarray(img)
+            graph.environment["texture"] = np.asarray(img, np.float32)
+            graph.environment["texture_paths"] = {
+                "path": os.path.join(directory, env["path"])}
+    elif env.get("kind") == "cube":
+        # six-face cube map (jsonin.cpp:308-328 / Environment::loadCubeMap);
+        # shading face order is +x,+y,-z,-x,-y,+z (models/shading.py
+        # environment_color side computation)
+        from ..utils import film
+        keys = ("posx", "posy", "negz", "negx", "negy", "posz")
+        faces = [film.read_image(os.path.join(directory, env.get(k, "")))
+                 for k in keys]
+        if all(f is not None for f in faces):
+            h = min(f.shape[0] for f in faces)
+            w = min(f.shape[1] for f in faces)
+            graph.environment["kind"] = 2  # ENV_CUBE_MAP
+            graph.environment["texture"] = np.stack(
+                [np.asarray(f[:h, :w], np.float32) for f in faces])
+            graph.environment["texture_paths"] = {
+                k: os.path.join(directory, env[k])
+                for k in ("posx", "posy", "posz",
+                          "negx", "negy", "negz") if k in env}
     if "light" in env:
         graph.environment["ambient"] = tuple(env["light"][:3])
 
@@ -163,8 +197,32 @@ def save_scene_json(graph: SceneGraph, path: str,
     Environment; meshes are written as .b3df next to the scene file."""
     directory = os.path.dirname(os.path.abspath(path))
     mesh_dir = mesh_dir or directory
-    out: dict = {"Material": [dict(m) for m in graph.materials],
-                 "Mesh": [], "Node": []}
+
+    def rel_materials():
+        """Texture refs are written relative to the scene file (the
+        reference writes into a textures/ dir, jsonout.cpp:183-216);
+        internal `*_tex` atlas indices are stripped — they are rebuilt at
+        load."""
+        from .types import TEXTURE_SLOTS
+        mats = []
+        for m in graph.materials:
+            m = dict(m)
+            for slot in TEXTURE_SLOTS:
+                m.pop(f"{slot}_tex", None)
+                p = m.get(f"{slot}_map")
+                if isinstance(p, str) and os.path.isabs(p):
+                    m[f"{slot}_map"] = os.path.relpath(p, directory)
+                elif p is not None and not isinstance(p, str):
+                    # in-memory image: persist it next to the scene
+                    from ..utils import film
+                    fname = f"{m.get('name', 'mat')}_{slot}.png"
+                    film.write_png(os.path.join(directory, fname),
+                                   np.asarray(p, np.float32))
+                    m[f"{slot}_map"] = fname
+            mats.append(m)
+        return mats
+
+    out: dict = {"Material": rel_materials(), "Mesh": [], "Node": []}
     mesh_paths: dict = {}
     next_id = [0]
 
@@ -206,8 +264,40 @@ def save_scene_json(graph: SceneGraph, path: str,
             walk(c, nid if node is not graph.root else None)
 
     walk(graph.root, None)
-    out["Environment"] = {"color": list(graph.environment.get("color", (0, 0, 0))),
-                          "light": list(graph.environment.get("ambient", (0, 0, 0)))}
+    env_out: dict = {"light": list(graph.environment.get("ambient", (0, 0, 0)))}
+    kind = graph.environment.get("kind", 0)
+    tex = graph.environment.get("texture")
+    tex_paths = graph.environment.get("texture_paths")
+    if kind == 1 and tex is not None:  # sphere map
+        env_out["kind"] = "sphere"
+        if tex_paths and "path" in tex_paths:
+            env_out["path"] = os.path.relpath(tex_paths["path"], directory)
+        else:
+            from ..utils import film
+            film.write_png(os.path.join(directory, "environment_sphere.png"),
+                           np.asarray(tex, np.float32))
+            env_out["path"] = "environment_sphere.png"
+    elif kind == 2 and tex is not None:  # cube map
+        env_out["kind"] = "cube"
+        names = ("posx", "posy", "posz", "negx", "negy", "negz")
+        if tex_paths and all(k in tex_paths for k in names):
+            env_out.update({k: os.path.relpath(tex_paths[k], directory)
+                            for k in names})
+        else:
+            from ..utils import film
+            # stack order is +x,+y,-z,-x,-y,+z (see load_scene_json)
+            stack_of = {"posx": 0, "posy": 1, "negz": 2,
+                        "negx": 3, "negy": 4, "posz": 5}
+            for k in names:
+                fname = f"environment_{k}.png"
+                film.write_png(os.path.join(directory, fname),
+                               np.asarray(tex[stack_of[k]], np.float32))
+                env_out[k] = fname
+    else:
+        env_out["color"] = list(graph.environment.get("color", (0, 0, 0)))
+    out["Environment"] = env_out
+    if graph.fur:
+        out["Fur"] = dict(graph.fur)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
 

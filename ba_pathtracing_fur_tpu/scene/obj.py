@@ -1,18 +1,77 @@
-"""Wavefront OBJ loader (pure python/numpy — no Assimp on TPU hosts).
+"""Wavefront OBJ + MTL loader (pure python/numpy — no Assimp on TPU hosts).
 
 Parity with the reference's Assimp import path (SceneGraph::importObj /
 createMeshFromAi, /root/reference/src/libraries/KIRK/Common/
 SceneGraph.cpp:85-256): triangle-fan triangulation of n-gon faces
 (:196-216), smooth normal generation when the file has none
 (aiProcess_GenSmoothNormals), texcoords when present, usemtl → per-face
-material slots.
+material slots, and the material import of createMeshFromAi
+(SceneGraph.cpp:145-180): diffuse color + diffuse/normal texture paths +
+emission color, with the reference's fixed defaults reflectivity=0.2,
+roughness=0.1, ior=1.56. As a superset, Ks/map_Ks (specular), Ns
+(glossiness→roughness), d/Tr (transparency) and Ni (ior) are also read
+when present — Assimp drops them; our parser need not.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .graph import HostMesh
+
+
+#: MTL key → (material-dict key, arity). Color keys carry 3 floats, float
+#: keys 1; map keys carry a path resolved relative to the .mtl file.
+_MTL_COLOR_KEYS = {"Kd": "diffuse", "Ks": "specular", "Ke": "emission"}
+_MTL_MAP_KEYS = {"map_Kd": "diffuse_map", "map_Ks": "specular_map",
+                 "map_Ke": "emission_map", "map_Bump": "bump_map",
+                 "map_bump": "bump_map", "bump": "bump_map",
+                 "norm": "normal_map", "map_Kn": "normal_map",
+                 "map_Ns": "roughness_map", "map_d": "transparency_map"}
+
+
+def load_mtl(path: str) -> dict:
+    """Parse a .mtl file → {material name: material dict} with the
+    createMeshFromAi defaults (SceneGraph.cpp:175-179: reflectivity 0.2,
+    roughness 0.1, ior 1.56) as the base for every entry."""
+    directory = os.path.dirname(os.path.abspath(path))
+    mats: dict = {}
+    cur: dict | None = None
+    try:
+        fh = open(path, "r", errors="replace")
+    except OSError:
+        return mats
+    with fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            tag, *rest = line.split()
+            if tag == "newmtl":
+                name = rest[0] if rest else "default"
+                cur = mats.setdefault(name, dict(
+                    name=name, reflectivity=0.2, roughness=0.1, ior=1.56,
+                    transparency=0.0))
+            elif cur is None:
+                continue
+            elif tag in _MTL_COLOR_KEYS:
+                cur[_MTL_COLOR_KEYS[tag]] = tuple(float(x) for x in rest[:3])
+            elif tag in _MTL_MAP_KEYS:
+                # options (-bm etc.) may precede the filename; take the last
+                # token, resolved relative to the .mtl
+                cur[_MTL_MAP_KEYS[tag]] = os.path.join(directory, rest[-1])
+            elif tag == "Ns" and rest:
+                # glossiness exponent 0..1000 → roughness in [0, 1]
+                cur["roughness"] = max(0.0, 1.0 - float(rest[0]) / 1000.0)
+            elif tag == "Ni" and rest:
+                cur["ior"] = float(rest[0])
+            elif tag == "d" and rest:
+                cur["transparency"] = 1.0 - float(rest[0])
+            elif tag == "Tr" and rest:
+                cur["transparency"] = float(rest[0])
+    return mats
 
 
 def load_obj(path: str, name: str | None = None) -> HostMesh:
@@ -28,9 +87,11 @@ def load_obj(path: str, name: str | None = None) -> HostMesh:
     faces: list = []
     face_mat: list = []
     materials: list = ["default"]
+    mtl_defs: dict = {}
     cur_mat = 0
     has_normals = False
     has_uvs = False
+    directory = os.path.dirname(os.path.abspath(path))
 
     def corner(tok: str) -> int:
         nonlocal has_normals, has_uvs
@@ -67,6 +128,9 @@ def load_obj(path: str, name: str | None = None) -> HostMesh:
                 normals.append(tuple(float(x) for x in rest[:3]))
             elif tag == "vt":
                 uvs.append(tuple(float(x) for x in rest[:2]))
+            elif tag == "mtllib":
+                for lib in rest:
+                    mtl_defs.update(load_mtl(os.path.join(directory, lib)))
             elif tag == "usemtl":
                 mat = rest[0] if rest else "default"
                 if mat not in materials:
@@ -88,6 +152,11 @@ def load_obj(path: str, name: str | None = None) -> HostMesh:
         name=name or path.rsplit("/", 1)[-1],
     )
     mesh.material_slot_names = materials  # type: ignore[attr-defined]
+    # per-slot material dicts: .mtl definition when present, else a
+    # name-only default (the reference always creates a KIRK::Material per
+    # Assimp slot, SceneGraph.cpp:157)
+    mesh.material_defs = [  # type: ignore[attr-defined]
+        dict(mtl_defs.get(n, {"name": n})) for n in materials]
     if mesh.normals is None:
         mesh.compute_smooth_normals()
     return mesh

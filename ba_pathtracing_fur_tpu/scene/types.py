@@ -76,6 +76,11 @@ ENV_COLOR = 0
 ENV_SPHERE_MAP = 1
 ENV_CUBE_MAP = 2
 
+# Material texture slots (Material.h:60-78; JSON keys are f"{slot}_map",
+# jsonin.cpp:403-465; MaterialTable columns are f"{slot}_tex").
+TEXTURE_SLOTS = ("diffuse", "specular", "volume", "emission",
+                 "transparency", "roughness", "normal", "bump")
+
 
 @struct.dataclass
 class TrianglePack:
@@ -154,7 +159,21 @@ class MaterialTable:
     shader_id: jnp.ndarray  # [M] int32
     hair_alpha: jnp.ndarray  # [M] degrees, R-lobe longitudinal shift (negative)
     hair_beta: jnp.ndarray  # [M] degrees, R-lobe longitudinal width
-    diffuse_tex: jnp.ndarray  # [M] int32 index into texture atlas, -1 = none
+    # Texture slots: atlas indices, -1 = none. One per MatParam texture slot
+    # of the reference (Material.h:60-78, parsed from JSON *_map keys at
+    # jsonin.cpp:403-465). Color slots REPLACE the value when present; float
+    # slots resolve to the length of the fetched color (Material.cpp:15-23).
+    # normal/bump are stored + round-tripped for schema parity but are never
+    # consumed by shading — neither are they in the reference (no render
+    # path calls fetchParameterColor<NORMAL> / <BUMP>).
+    diffuse_tex: jnp.ndarray  # [M] int32
+    specular_tex: jnp.ndarray  # [M] int32
+    volume_tex: jnp.ndarray  # [M] int32
+    emission_tex: jnp.ndarray  # [M] int32
+    transparency_tex: jnp.ndarray  # [M] int32
+    roughness_tex: jnp.ndarray  # [M] int32
+    normal_tex: jnp.ndarray  # [M] int32
+    bump_tex: jnp.ndarray  # [M] int32
 
     @property
     def count(self) -> int:
@@ -211,6 +230,10 @@ class DeviceScene:
     # loop skip the Marschner/d'Eon automaton entirely (it is compute-all-
     # select otherwise — pure waste in fur-less scenes). True is always safe.
     has_hair: bool = struct.field(pytree_node=False, default=True)
+    # static: which material slots are actually textured in this scene
+    # (subset of TEXTURE_SLOTS) — gates the per-slot bilinear fetch in
+    # gather_materials so un-textured slots cost nothing.
+    tex_slots: tuple = struct.field(pytree_node=False, default=())
 
 
 def scene_has_hair(materials: "MaterialTable") -> bool:
@@ -397,7 +420,8 @@ def make_material_table(materials: list[dict]) -> MaterialTable:
         shader_id=_as_i32([resolve_shader(m) for m in materials]),
         hair_alpha=_as_f32(f("hair_alpha", -7.5)),  # midpoint of [-10,-5]°
         hair_beta=_as_f32(f("hair_beta", 7.5)),  # midpoint of [5,10]°
-        diffuse_tex=_as_i32([m.get("diffuse_tex", -1) for m in materials]),
+        **{f"{slot}_tex": _as_i32([m.get(f"{slot}_tex", -1) for m in materials])
+           for slot in TEXTURE_SLOTS},
     )
 
 

@@ -128,7 +128,11 @@ def read_ppm(path: str, gamma: float = 2.2) -> np.ndarray:
 
 
 def read_image(path: str, gamma: float = 2.2):
-    """Dispatch by extension; returns linear float [H,W,3] or None."""
+    """Dispatch by extension; returns linear float [H,W,3] or None.
+    `gamma` decodes display-encoded images to linear light (pass 1.0 for
+    data maps: normal/bump/roughness). JPEG/BMP/TGA etc. go through PIL
+    when available (the reference reads everything via stb_image,
+    Texture.cpp; PIL is the host-side stand-in)."""
     low = path.lower()
     if low.endswith(".png"):
         return read_png(path, gamma)
@@ -136,7 +140,16 @@ def read_image(path: str, gamma: float = 2.2):
         return read_ppm(path, gamma)
     if low.endswith(".npy"):
         return np.asarray(np.load(path), np.float32)
-    return None
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(path) as im:
+            a = np.asarray(im.convert("RGB"), np.uint8)
+    except OSError:
+        return None
+    return (a.astype(np.float32) / 255.0) ** gamma
 
 
 def mse(a: np.ndarray, b: np.ndarray) -> float:
