@@ -110,6 +110,10 @@ class BVH:
     # Super-cluster AABBs are the heap level at depth log2(n_leaves/fanout)
     # — already present in bmin/bmax, no extra storage.
     fanout: int = struct.field(pytree_node=False, default=0)
+    # True when the arrays carry a leading [n_geo] stack axis of per-shard
+    # BVHs (parallel.render.shard_scene_bvh) — sharded over the "geo" mesh
+    # axis and squeezed inside the shard before traversal.
+    geo_stacked: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def depth(self) -> int:
