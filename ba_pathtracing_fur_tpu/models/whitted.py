@@ -6,9 +6,15 @@ the reference recursion (trace -> shade -> {refraction, reflection} children,
 Simple_CPU_Raytracer.cpp:55-107,356-449) is a binary tree of weighted rays.
 Because the reference combines child colors with `mix` (affine in each
 child), the tree linearizes exactly: every node carries an accumulated color
-weight, local shading is scaled by it, and the recursion becomes a breadth-
-first list of pixel-aligned wavefronts — at most 2^depth traces, each a
-fused XLA program over all pixels.
+weight, local shading is scaled by it, and the recursion is evaluated as a
+lock-step per-ray DEPTH-FIRST walk — each ray holds its current tree node
+plus a [depth]-entry stack of deferred siblings (binary-tree DFS never holds
+more than one sibling per level), and a `lax.while_loop` traces one
+wavefront of current nodes per iteration. Iteration count is the largest
+per-ray tree's node count — the Minweight gate (:107,228) prunes most
+branches — NOT the 2^depth of a breadth-first expansion, which is what
+makes the reference's default depth 8 (CPU_Raytracer.h:75) practical on a
+wavefront machine.
 
 Parity notes:
   * lightShading: ALL lights each hit (not NEE-sampled), Phong diffuse +
@@ -48,8 +54,8 @@ RAY_EPS = 1e-4  # Ray.h:9
 
 
 class WhittedConfig(NamedTuple):
-    depth: int = 3  # recursion depth (reference default 8, CPU_Raytracer.h:75;
-    #                 each level doubles the wavefront tree — keep modest)
+    depth: int = 8  # recursion depth — reference default (CPU_Raytracer.h:75);
+    #                 the DFS queue makes depth 8 cost ~tree-size, not 2^8
     supersamples: int = 1  # N×N subpixel grid (superSampling, :252-280)
     hair_lobes: str = "r"  # "r" (reference parity, :755) | "all" (R+TT+TRT)
     shadows: bool = True
@@ -59,6 +65,12 @@ class WhittedConfig(NamedTuple):
     #   toward light-sphere/area samples (Ray::jitterBy + randomized
     #   calcLightdir, Light.cpp:127-159)
     shadow_samples: int = 4  # visibility samples per light when soft
+    dof: bool = False  # RTFLAG_USE_DOF: replace each primary ray by
+    #   dof_samples thin-lens rays averaged (depthOfField,
+    #   Simple_CPU_Raytracer.cpp:236-248); needs camera.use_dof for the
+    #   aperture/focus parameters. Like the reference, DoF consumes one
+    #   recursion level (trace(level+1), :246).
+    dof_samples: int = 4  # m_num_blursamples
     aa: str = "grid"  # subpixel pattern: "grid" | "poisson"
     #   (PoissonDiskGenerator AA, Simple_CPU_Raytracer.h:26)
     adaptive: bool = False  # adaptive supersampling: refine only pixels
@@ -193,6 +205,8 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
                    cfg: WhittedConfig = WhittedConfig()) -> jnp.ndarray:
     """Deterministic Whitted render -> [H,W,3]. jit-able; wrap in jax.jit
     with cfg static."""
+    from ..scene.types import ensure_device
+    scene = ensure_device(scene)  # while_loop bodies can't index numpy leaves
     w, h = camera.resolution
     px, py = cam_mod.pixel_grid(camera.resolution)
     r = px.shape[0]
@@ -203,44 +217,127 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
         ((i + 0.5) / n_ss, (j + 0.5) / n_ss)
         for j in range(n_ss) for i in range(n_ss)]
 
+    use_dof = cfg.dof and camera.use_dof
+    n_dof = max(1, cfg.dof_samples) if use_dof else 1
+
+    def radical2(i):
+        # van-der-Corput base 2 — deterministic lens points
+        x, f, b = 0.0, 0.5, i
+        while b:
+            x, f, b = x + f * (b & 1), f * 0.5, b >> 1
+        return x
+
     for ox, oy in offsets:
         jit = jnp.broadcast_to(jnp.asarray([ox, oy], jnp.float32), (r, 2))
-        o, d = cam_mod.rays_from_pixels(camera, px, py, jit)
-        image = image + _trace_tree(scene, o, d, cfg) / len(offsets)
+        for s in range(n_dof):
+            dof_u = None
+            if use_dof:
+                dof_u = jnp.broadcast_to(
+                    jnp.asarray([radical2(s), (s + 0.5) / n_dof], jnp.float32),
+                    (r, 2))
+            o, d = cam_mod.rays_from_pixels(camera, px, py, jit, dof_u)
+            # DoF consumes one recursion level (trace(level+1), :246)
+            image = image + _trace_queue(scene, o, d, cfg,
+                                         lvl0=1 if use_dof else 0) \
+                / (len(offsets) * n_dof)
 
     return image.reshape(h, w, 3)
 
 
-def _trace_tree(scene, o, d, cfg: WhittedConfig):
-    """Breadth-first linearized recursion: wavefronts carry (o, d,
-    color-weight W [R,3], scalar trace-weight w [R]).
+def _trace_queue(scene, o, d, cfg: WhittedConfig, lvl0: int = 0):
+    """Lock-step per-ray DFS over the weighted recursion tree.
 
-    W is the product of the mix factors on the path to the root (what the
-    child subtree's color is multiplied by); w reproduces the reference's
-    scalar `weight` argument, which both gates Minweight AND multiplies the
-    child color again (`weight * trace(...)`, :107,228 — a genuine quirk of
-    the reference kept for parity)."""
+    Node payload = (o, d, color-weight W [R,3], scalar trace-weight w [R],
+    level). W is the product of the mix factors on the path to the root
+    (what the child subtree's color is multiplied by); w reproduces the
+    reference's scalar `weight` argument, which both gates Minweight AND
+    multiplies the child color again (`weight * trace(...)`,
+    Simple_CPU_Raytracer.cpp:107,228 — a genuine quirk kept for parity).
+
+    Per iteration every live ray traces+shades its current node; a spawned
+    refraction child becomes the next current node, a spawned reflection
+    child is pushed onto the ray's stack (binary DFS ⇒ stack depth ≤
+    cfg.depth), and rays with no child pop their stack. The loop ends when
+    every ray's stack is empty — the exact same weighted sum as the
+    reference recursion, evaluated in DFS order."""
     r = o.shape[0]
-    color = jnp.zeros((r, 3), jnp.float32)
-    wavefronts = [(o, d, jnp.ones((r, 3), jnp.float32), jnp.ones((r,), jnp.float32))]
+    depth = cfg.depth
+    dcap = max(depth, 1)
+    zero3 = jnp.zeros((r, 3), jnp.float32)
 
-    for level in range(cfg.depth + 1):
-        next_wavefronts = []
-        for (wo_, wd_, W_, w_) in wavefronts:
-            c, children = _trace_shade(scene, wo_, wd_, W_, w_, level, cfg)
-            color = color + c
-            next_wavefronts.extend(children)
-        if not next_wavefronts:
-            break
-        wavefronts = next_wavefronts
+    stack = {
+        "o": jnp.zeros((r, dcap, 3), jnp.float32),
+        "d": jnp.zeros((r, dcap, 3), jnp.float32),
+        "W": jnp.zeros((r, dcap, 3), jnp.float32),
+        "w": jnp.zeros((r, dcap), jnp.float32),
+        "lvl": jnp.zeros((r, dcap), jnp.int32),
+    }
+    cur = {"o": o, "d": d, "W": jnp.ones((r, 3), jnp.float32),
+           "w": jnp.ones((r,), jnp.float32),
+           "lvl": jnp.full((r,), lvl0, jnp.int32)}
+    slot = jnp.arange(dcap, dtype=jnp.int32)[None]  # [1, D]
+
+    def cond(carry):
+        it, color, cur, live, stack, sp = carry
+        # node-count safety cap; Minweight pruning ends loops far earlier
+        return (it < 2 ** (depth + 1)) & jnp.any(live)
+
+    def body(carry):
+        it, color, cur, live, stack, sp = carry
+        c, t_child, r_child, spawn_t, spawn_r = _trace_shade(
+            scene, cur["o"], cur["d"], cur["W"], cur["w"], cur["lvl"],
+            live, cfg)
+        color = color + c
+
+        # push the reflection child when BOTH children spawned
+        push = live & spawn_t & spawn_r
+        mask = push[:, None] & (slot == sp[:, None])  # [R, D] one-hot at sp
+        stack = {
+            "o": jnp.where(mask[..., None], r_child["o"][:, None], stack["o"]),
+            "d": jnp.where(mask[..., None], r_child["d"][:, None], stack["d"]),
+            "W": jnp.where(mask[..., None], r_child["W"][:, None], stack["W"]),
+            "w": jnp.where(mask, r_child["w"][:, None], stack["w"]),
+            "lvl": jnp.where(mask, r_child["lvl"][:, None], stack["lvl"]),
+        }
+        sp = sp + push.astype(jnp.int32)
+
+        # continue into a child (refraction preferred = reference call order)
+        cont = live & (spawn_t | spawn_r)
+        take_t = live & spawn_t
+        child = {k: jnp.where(_bc(take_t, t_child[k]), t_child[k], r_child[k])
+                 for k in cur}
+
+        # no child: pop the deferred sibling, else the ray is done
+        pop = ~cont & (sp > 0)
+        sp = sp - pop.astype(jnp.int32)
+        rows = jnp.arange(r)
+        popped = {k: stack[k][rows, sp] for k in cur}
+
+        cur = {k: jnp.where(_bc(cont, child[k]), child[k],
+                            jnp.where(_bc(pop, popped[k]), popped[k], cur[k]))
+               for k in cur}
+        live = cont | pop
+        return it + 1, color, cur, live, stack, sp
+
+    init = (jnp.int32(0), zero3, cur, jnp.ones((r,), bool), stack,
+            jnp.zeros((r,), jnp.int32))
+    _, color, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return color
 
 
-def _trace_shade(scene, o, d, W, w, level, cfg: WhittedConfig):
-    """One wavefront: trace + shade; returns (color contribution [R,3],
-    child wavefronts)."""
-    live = jnp.any(W > 0.0, axis=-1)
-    hit = traverse.closest_hit(o, d, scene, chunk=cfg.ray_chunk)
+def _bc(mask, like):
+    """Broadcast a [R] mask against a [R] or [R,3] array."""
+    return mask[:, None] if like.ndim == 2 else mask
+
+
+def _trace_shade(scene, o, d, W, w, level, live, cfg: WhittedConfig):
+    """One wavefront node: trace + shade. `level` is per-ray [R] int32.
+    Returns (color contribution [R,3], refraction child, reflection child,
+    spawn_t [R], spawn_r [R]); children are node dicts with zeroed payloads
+    where not spawned."""
+    live = live & jnp.any(W > 0.0, axis=-1)
+    t_cap = jnp.where(live, jnp.inf, 0.0)  # dead lanes trace nothing
+    hit = traverse.closest_hit(o, d, scene, t_max=t_cap, chunk=cfg.ray_chunk)
     view = vm.normalize(d)
 
     # background (:77)
@@ -265,12 +362,21 @@ def _trace_shade(scene, o, d, W, w, level, cfg: WhittedConfig):
     fresnel = jnp.clip(mp.reflectivity ** 2 - mp.transparency ** 2
                        + r_theta * mp.reflectivity, 0.0, 1.0)
 
-    children = []
     can_recurse = level < cfg.depth
+    child_lvl = level + 1
+    r = o.shape[0]
+    zero_child = {"o": jnp.zeros((r, 3), jnp.float32),
+                  "d": jnp.zeros((r, 3), jnp.float32),
+                  "W": jnp.zeros((r, 3), jnp.float32),
+                  "w": jnp.zeros((r,), jnp.float32), "lvl": child_lvl}
+    t_child = dict(zero_child)
+    r_child = dict(zero_child)
+    spawn_t = jnp.zeros((r,), bool)
+    spawn_r = jnp.zeros((r,), bool)
 
-    if can_recurse and cfg.refractions:
+    if cfg.refractions:
         ft = mp.transparency * (1.0 - fresnel)
-        spawn_t = is_surf & (ft * w > MINWEIGHT)
+        spawn_t = is_surf & can_recurse & (ft * w > MINWEIGHT)
         eta = jnp.where(hit.enter, 1.0 / mp.ior, mp.ior)[:, None]
         refr_n = jnp.where(hit.enter[:, None], norm, -norm)
         tdir = vm.refract(view, refr_n, eta)
@@ -285,23 +391,25 @@ def _trace_shade(scene, o, d, W, w, level, cfg: WhittedConfig):
         # mix(color, volume * (1 * trace(...)), T): parent keeps (1-T);
         # refraction() is called with weight=1 (:436) so no extra scalar.
         child_W = W * mp.volume * mp.transparency[:, None]
-        child_W = jnp.where(spawn_t[:, None], child_W, 0.0)
-        child_w = jnp.where(spawn_t, ft, 0.0)  # falloff * 1
+        t_child = {"o": corig, "d": cdir,
+                   "W": jnp.where(spawn_t[:, None], child_W, 0.0),
+                   "w": jnp.where(spawn_t, ft, 0.0),  # falloff * 1
+                   "lvl": child_lvl}
         base = jnp.where(spawn_t[:, None],
                          base * (1.0 - mp.transparency)[:, None], base)
-        children.append((corig, cdir, child_W, child_w))
 
-    if can_recurse and cfg.reflections:
-        spawn_r = is_surf & (fresnel * w > MINWEIGHT)
+    if cfg.reflections:
+        spawn_r = is_surf & can_recurse & (fresnel * w > MINWEIGHT)
         rdir = vm.normalize(vm.reflect(view, norm_view))
         rorig = hit.position + 1e-2 * norm_view
         # mix(c1, specular * (w * trace(...)), F): the child color is scaled
         # by specular, the mix factor F, AND the scalar weight again (:107)
         child_W = W * mp.specular * (fresnel * w)[:, None]
-        child_W = jnp.where(spawn_r[:, None], child_W, 0.0)
-        child_w = jnp.where(spawn_r, fresnel * w, 0.0)
+        r_child = {"o": rorig, "d": rdir,
+                   "W": jnp.where(spawn_r[:, None], child_W, 0.0),
+                   "w": jnp.where(spawn_r, fresnel * w, 0.0),
+                   "lvl": child_lvl}
         base = jnp.where(spawn_r[:, None], base * (1.0 - fresnel)[:, None], base)
-        children.append((rorig, rdir, child_W, child_w))
 
     color = color + jnp.where(is_surf[:, None], W * base, 0.0)
 
@@ -309,7 +417,7 @@ def _trace_shade(scene, o, d, W, w, level, cfg: WhittedConfig):
     hair_c = _hair_color(scene, hit, view, mp, cfg)
     color = color + jnp.where(is_hair[:, None], W * hair_c, 0.0)
 
-    return color, children
+    return color, t_child, r_child, spawn_t, spawn_r
 
 
 def render_whitted_jit(scene, camera, cfg: WhittedConfig = WhittedConfig()):
