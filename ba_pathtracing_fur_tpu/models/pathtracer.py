@@ -78,6 +78,11 @@ class RenderConfig(NamedTuple):
     # (latency-bound); batching widens the launch to spp_batch * W * H lanes.
     # Must divide spp; falls back to 1 otherwise.
     spp_batch: int = 1
+    # Subpixel QMC (Hammersley set, inc_random.compute:33-46): camera
+    # jitter from the Cranley–Patterson-rotated Hammersley point of the
+    # sample index instead of an independent uniform per sample. Lower
+    # pixel variance at equal spp; still shard-bit-identical.
+    qmc: bool = False
     # Firefly ceiling: the reference's hair lobes are unbounded in the
     # 1/cos^2(theta_d) tail (Bsdf.cpp:567,661) and can reach inf, which the
     # running-mean accumulator would turn into NaN. Throughput is clamped to
@@ -318,7 +323,10 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
     px = (pixel_ids % w).astype(jnp.float32)
     py = (pixel_ids // w).astype(jnp.float32)
     keys = rng.keys_for_pixels(key, pixel_ids, sample_idx)
-    jitter = rng.bounce_uniform(keys, -1, 2, tag=7)
+    if cfg.qmc:
+        jitter = rng.qmc_jitter(key, pixel_ids, sample_idx, cfg.spp)
+    else:
+        jitter = rng.bounce_uniform(keys, -1, 2, tag=7)
     dof_u = rng.bounce_uniform(keys, -1, 2, tag=8) if camera.use_dof else None
     o, d = cam_mod.rays_from_pixels(camera, px, py, jitter, dof_u)
     state = init_state(o, d)

@@ -73,10 +73,12 @@ class WhittedConfig(NamedTuple):
     dof_samples: int = 4  # m_num_blursamples
     aa: str = "grid"  # subpixel pattern: "grid" | "poisson"
     #   (PoissonDiskGenerator AA, Simple_CPU_Raytracer.h:26)
-    adaptive: bool = False  # adaptive supersampling: refine only pixels
-    #   whose luminance differs from a neighbor beyond the threshold
-    #   (Simple_CPU_Raytracer adaptive flag)
-    adaptive_threshold: float = 0.1
+    adaptive: bool = False  # RTFLAG_USE_ADAPTIVE_SAMPLING: per-pixel
+    #   quadtree corner refinement (adaptiveSampling,
+    #   Simple_CPU_Raytracer.cpp:275-341); active when supersamples == 1,
+    #   matching the reference's else-if flag order (:30-38)
+    adaptive_threshold: float = 0.5  # m_max_adaptive_difference (:10)
+    adaptive_depth: int = 2  # m_adaptive_depth (:9)
     ray_chunk: int = 16384
 
 
@@ -213,6 +215,10 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
     image = jnp.zeros((r, 3), jnp.float32)
 
     n_ss = max(1, cfg.supersamples)
+    if cfg.adaptive and n_ss == 1:
+        # else-if flag order of renderPixel (Simple_CPU_Raytracer.cpp:30-38):
+        # supersampling wins over adaptive when both are set
+        return _adaptive_image(scene, px, py, camera, cfg).reshape(h, w, 3)
     offsets = [(0.5, 0.5)] if n_ss == 1 else [
         ((i + 0.5) / n_ss, (j + 0.5) / n_ss)
         for j in range(n_ss) for i in range(n_ss)]
@@ -242,6 +248,63 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
                 / (len(offsets) * n_dof)
 
     return image.reshape(h, w, 3)
+
+
+def _adaptive_image(scene, px, py, camera, cfg: WhittedConfig) -> jnp.ndarray:
+    """Adaptive supersampling (adaptiveSampling,
+    Simple_CPU_Raytracer.cpp:275-294): trace the pixel's four inset corners
+    (step 1/20 from the edges), then quadtree-refine squares whose corner
+    colors disagree. Wavefront form: refinement is statically unrolled to
+    `adaptive_depth` levels; every level traces all midpoint wavefronts and
+    masks non-refining pixels at the combine, so cost is uniform
+    5·(4^d − 1)/3 extra traces rather than data-dependent recursion."""
+    step = 1.0 / 20.0
+    r = px.shape[0]
+
+    def ray(jx, jy):
+        jit = jnp.broadcast_to(jnp.asarray([jx, jy], jnp.float32), (r, 2))
+        return cam_mod.rays_from_pixels(camera, px, py, jit)
+
+    # ray1=(x1,y2) ray2=(x2,y2) ray3=(x1,y1) ray4=(x2,y1)  (:280-288)
+    o, d1 = ray(step, 1.0 - step)
+    _, d2 = ray(1.0 - step, 1.0 - step)
+    _, d3 = ray(step, step)
+    _, d4 = ray(1.0 - step, step)
+    tr = lambda dd: _trace_queue(scene, o, dd, cfg)
+    c1, c2, c3, c4 = tr(d1), tr(d2), tr(d3), tr(d4)
+    return _adaptive_square(scene, o, (d1, d2, d3, d4), (c1, c2, c3, c4),
+                            cfg, 0)
+
+
+def _adaptive_square(scene, o, dirs, colors, cfg: WhittedConfig, depth: int):
+    """adaptiveSamplingRecursive (Simple_CPU_Raytracer.cpp:296-341): if any
+    pairwise corner-color distance exceeds the threshold, trace the five
+    edge/center midpoints and recurse into the four subsquares; pixels below
+    threshold keep the plain 4-corner average."""
+    d1, d2, d3, d4 = dirs
+    c1, c2, c3, c4 = colors
+    flat = (c1 + c2 + c3 + c4) / 4.0
+    if depth >= cfg.adaptive_depth:
+        return flat
+
+    pairs = ((c1, c2), (c1, c3), (c1, c4), (c2, c3), (c2, c4), (c3, c4))
+    diff = jnp.stack([jnp.linalg.norm(a - b, axis=-1) for a, b in pairs])
+    refine = jnp.max(diff, axis=0) > cfg.adaptive_threshold  # [R]
+
+    n1 = (d1 + d2) / 2.0
+    n2 = (d1 + d3) / 2.0
+    n3 = (d1 + d4) / 2.0
+    n4 = (d2 + d4) / 2.0
+    n5 = (d3 + d4) / 2.0
+    tr = lambda dd: _trace_queue(scene, o, dd, cfg)
+    cn1, cn2, cn3, cn4, cn5 = tr(n1), tr(n2), tr(n3), tr(n4), tr(n5)
+
+    r1 = _adaptive_square(scene, o, (d1, n1, n2, n3), (c1, cn1, cn2, cn3), cfg, depth + 1)
+    r2 = _adaptive_square(scene, o, (n1, d2, n3, n4), (cn1, c2, cn3, cn4), cfg, depth + 1)
+    r3 = _adaptive_square(scene, o, (n2, n3, d3, n5), (cn2, cn3, c3, cn5), cfg, depth + 1)
+    r4 = _adaptive_square(scene, o, (n3, n4, n5, d4), (cn3, cn4, cn5, c4), cfg, depth + 1)
+    refined = (r1 + r2 + r3 + r4) / 4.0
+    return jnp.where(refine[:, None], refined, flat)
 
 
 def _trace_queue(scene, o, d, cfg: WhittedConfig, lvl0: int = 0):

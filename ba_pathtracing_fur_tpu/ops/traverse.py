@@ -276,7 +276,9 @@ def closest_hit_pallas(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF) -> brute
     exact brute force without the [R,P] grid — for mid-size scenes on TPU
     where no BVH is attached."""
     from .pallas import intersect as pk
+    from ..scene.types import ensure_device
 
+    scene = ensure_device(scene)  # tracer-indexing needs jnp leaves
     r = o.shape[0]
     sg = jax.lax.stop_gradient
 
@@ -310,27 +312,43 @@ def _has_bvh(scene: DeviceScene) -> bool:
     return scene.tri_bvh is not None or scene.cone_bvh is not None
 
 
-# module-level switch for the Pallas brute-force path (set by CLI/bench;
-# a python bool read at trace time, like the accel-structure swap in the
-# reference's GUI, Demo/main.cpp:94-127)
-_PALLAS_BRUTEFORCE = False
+# Pallas brute-force policy, decided by data (benchmarks/ab_intersect.py on
+# TPU v5e, out/AB_INTERSECT.json): the streaming kernels beat the jnp [R,P]
+# grid at ~100k tris (+23%) / ~72k cones (+39%) but lose below ~10k prims
+# (launch overhead), and the LBVH wins whenever one is attached. So the
+# no-BVH path auto-selects Pallas on TPU for big packs; the tri-state
+# override (True/False/None=auto) replaces round 1's dead default-off switch.
+_PALLAS_BRUTEFORCE: bool | None = None
+_PALLAS_MIN_PRIMS = 16384
 
 
-def enable_pallas_bruteforce(on: bool = True) -> None:
+def enable_pallas_bruteforce(on: bool | None = True) -> None:
+    """Force the Pallas brute-force path on/off; None restores the
+    data-driven auto policy."""
     global _PALLAS_BRUTEFORCE
     _PALLAS_BRUTEFORCE = on
+
+
+def _want_pallas(scene: DeviceScene) -> bool:
+    if _PALLAS_BRUTEFORCE is not None:
+        return _PALLAS_BRUTEFORCE
+    if jax.default_backend() != "tpu":
+        return False  # interpret-mode kernels are for tests, not speed
+    n = max(int(scene.tris.count), int(scene.cones.count))
+    return n >= _PALLAS_MIN_PRIMS
 
 
 def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
                 chunk: int = 8192, n_alive=None) -> bruteforce.Hit:
     """Dispatch: culled-cluster traversal for packs with a BVH (mixing in
-    the dense grid for small packs), Pallas streaming brute force when
-    enabled, plain jnp brute force otherwise. t_max may be per-ray [R];
-    n_alive enables whole-chunk skipping on compacted wavefronts."""
+    the dense grid for small packs), Pallas streaming brute force for large
+    BVH-less packs on TPU (see _want_pallas), plain jnp brute force
+    otherwise. t_max may be per-ray [R]; n_alive enables whole-chunk
+    skipping on compacted wavefronts."""
     if _has_bvh(scene):
         return closest_hit_bvh(o, d, scene, t_min, t_max,
                                chunk=chunk, n_alive=n_alive)
-    if _PALLAS_BRUTEFORCE:
+    if _want_pallas(scene):
         return closest_hit_pallas(o, d, scene, t_min, t_max)
     return bruteforce.closest_hit(o, d, scene, t_min, t_max, chunk=chunk,
                                   n_alive=n_alive)

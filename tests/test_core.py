@@ -94,3 +94,26 @@ def test_bessel_j0_known_values():
     xs = jnp.array([0.0, 1.0, 2.4048255577, 5.0, 10.0])
     ref = np.array([1.0, 0.7651976866, 0.0, -0.1775967713, -0.2459357645])
     np.testing.assert_allclose(np.asarray(bessel_j0(xs)), ref, atol=2e-6)
+
+
+def test_radical_inverse_known_values():
+    """radicalInverse_VdC (inc_random.compute:34-42): bit-reversal/2^32."""
+    got = np.asarray(rng.radical_inverse_vdc(jnp.arange(8, dtype=jnp.uint32)))
+    ref = np.array([0.0, 0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875])
+    np.testing.assert_allclose(got, ref, atol=1e-7)
+
+
+def test_hammersley_qmc_jitter():
+    pts = np.asarray(rng.hammersley2d(jnp.arange(4, dtype=jnp.uint32), 0.25))
+    np.testing.assert_allclose(pts[:, 0], [0.0, 0.25, 0.5, 0.75], atol=1e-7)
+    # Cranley-Patterson rotation: in [0,1)^2, same rotation for the same
+    # pixel across samples, different across pixels
+    key = jax.random.key(0)
+    ids = jnp.arange(16)
+    a = np.asarray(rng.qmc_jitter(key, ids, 0, 8))
+    b = np.asarray(rng.qmc_jitter(key, ids, 1, 8))
+    assert a.shape == (16, 2) and (a >= 0).all() and (a < 1).all()
+    # delta between samples is the same Hammersley offset for every pixel
+    d = np.mod(b - a, 1.0)
+    np.testing.assert_allclose(d, np.broadcast_to(d[:1], d.shape), atol=1e-6)
+    assert not np.allclose(a[0], a[1])  # pixels decorrelated

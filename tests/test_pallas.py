@@ -75,5 +75,5 @@ def test_pallas_dispatch_render_matches_bruteforce():
     try:
         got = render_image(scene, camera, key, cfg)
     finally:
-        traverse.enable_pallas_bruteforce(False)
+        traverse.enable_pallas_bruteforce(None)  # restore auto policy
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)

@@ -59,6 +59,35 @@ def test_whitted_supersampling_smooths():
     assert abs(a.mean() - b.mean()) < 0.2  # same scene, similar exposure
 
 
+def test_whitted_adaptive_refines_edges():
+    """Adaptive supersampling (adaptiveSampling,
+    Simple_CPU_Raytracer.cpp:275-341): high-contrast pixels get subdivided
+    corner samples, flat pixels keep the 4-corner average. A threshold of 0
+    must refine everywhere; an infinite threshold reduces to the plain
+    corner average."""
+    scene, camera = cornell_box(resolution=(16, 16))
+    base = whitted.WhittedConfig(depth=1, ray_chunk=1024)
+    never = np.asarray(whitted.render_whitted(
+        scene, camera, base._replace(adaptive=True, adaptive_threshold=1e9,
+                                     adaptive_depth=1)))
+    always = np.asarray(whitted.render_whitted(
+        scene, camera, base._replace(adaptive=True, adaptive_threshold=0.0,
+                                     adaptive_depth=1)))
+    default = np.asarray(whitted.render_whitted(
+        scene, camera, base._replace(adaptive=True)))
+    assert np.all(np.isfinite(always)) and np.all(np.isfinite(default))
+    # refinement changes at least the silhouette/contrast pixels...
+    assert np.any(np.abs(always - never) > 1e-4)
+    # ...but keeps overall exposure (same scene)
+    assert abs(always.mean() - never.mean()) < 0.2
+    # supersamples>1 takes precedence over adaptive (renderPixel :30-38)
+    ss = np.asarray(whitted.render_whitted(
+        scene, camera, base._replace(adaptive=True, supersamples=2)))
+    ss_ref = np.asarray(whitted.render_whitted(
+        scene, camera, base._replace(supersamples=2)))
+    np.testing.assert_array_equal(ss, ss_ref)
+
+
 def test_record_hair_paths():
     scene, camera = fur_patch(resolution=(8, 8), fibers_per_face=8,
                               fiber_verts=5, fiber_radius=0.03)
