@@ -43,7 +43,11 @@ from ..scene.types import ConePack, TrianglePack
 from . import intersect as isect
 
 INF = isect.INF
-BIG = jnp.float32(3.0e37)
+# python float, NOT jnp.float32: the host-side builders reference BIG in
+# tight numpy loops, and converting a committed jax scalar costs a device
+# sync per use (~13ms on a tunneled TPU — 6k syncs made the 100k-tri SAH
+# build take minutes). jnp expressions weak-type it to f32 unchanged.
+BIG = 3.0e37
 
 #: Rounds each ray gets in traversal pass 1 before the survivor compaction
 #: (multi-chunk wavefronts only). Most rays finish well inside this budget

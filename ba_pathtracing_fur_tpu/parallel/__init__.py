@@ -7,11 +7,12 @@ from .render import (
     render_image_sharded_jit,
     scene_partition_specs,
 )
+from .scaling import measure_scaling, scaling_panel
 from .train import TrainState, loss_fn, material_params, train_step
 
 __all__ = [
     "DP_AXIS", "GEO_AXIS", "make_mesh", "multihost_initialize",
     "pad_scene_geo", "render_image_sharded", "render_image_sharded_jit",
     "scene_partition_specs", "TrainState", "loss_fn", "material_params",
-    "train_step",
+    "train_step", "measure_scaling", "scaling_panel",
 ]

@@ -20,7 +20,7 @@ jax.config.update("jax_enable_x64", False)
 # multi-device modules are the long tail of the ~10-minute suite; select the
 # quick tier with `pytest -m "not slow"`.
 _SLOW_MODULES = {"test_parallel", "test_diff", "test_bdpt", "test_whitted",
-                 "test_mis", "test_pathtracer"}
+                 "test_mis", "test_pathtracer", "test_scaling"}
 
 
 def pytest_collection_modifyitems(config, items):
