@@ -215,14 +215,6 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
     image = jnp.zeros((r, 3), jnp.float32)
 
     n_ss = max(1, cfg.supersamples)
-    if cfg.adaptive and n_ss == 1:
-        # else-if flag order of renderPixel (Simple_CPU_Raytracer.cpp:30-38):
-        # supersampling wins over adaptive when both are set
-        return _adaptive_image(scene, px, py, camera, cfg).reshape(h, w, 3)
-    offsets = [(0.5, 0.5)] if n_ss == 1 else [
-        ((i + 0.5) / n_ss, (j + 0.5) / n_ss)
-        for j in range(n_ss) for i in range(n_ss)]
-
     use_dof = cfg.dof and camera.use_dof
     n_dof = max(1, cfg.dof_samples) if use_dof else 1
 
@@ -233,15 +225,39 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
             x, f, b = x + f * (b & 1), f * 0.5, b >> 1
         return x
 
+    def lens_u(s):
+        if not use_dof:
+            return None
+        return jnp.broadcast_to(
+            jnp.asarray([radical2(s), (s + 0.5) / n_dof], jnp.float32), (r, 2))
+
+    if cfg.adaptive and n_ss == 1:
+        # else-if flag order of renderPixel (Simple_CPU_Raytracer.cpp:30-38):
+        # supersampling wins over adaptive when both are set. Adaptive
+        # composes with DoF like the reference (trace at level 0 dispatches
+        # to depthOfField): average the adaptive pass over the deterministic
+        # lens samples, each starting one level deep (:246).
+        for s in range(n_dof):
+            image = image + _adaptive_image(
+                scene, px, py, camera, cfg, dof_u=lens_u(s),
+                lvl0=1 if use_dof else 0) / n_dof
+        return image.reshape(h, w, 3)
+
+    if n_ss == 1:
+        offsets = [(0.5, 0.5)]
+    elif cfg.aa == "poisson":
+        # blue-noise subpixel pattern (vendored PoissonDiskGenerator role,
+        # Simple_CPU_Raytracer.h:26): n_ss^2 dart-throwing points
+        offsets = [tuple(map(float, p))
+                   for p in sampling.poisson_disk_pattern(n_ss * n_ss)]
+    else:
+        offsets = [((i + 0.5) / n_ss, (j + 0.5) / n_ss)
+                   for j in range(n_ss) for i in range(n_ss)]
+
     for ox, oy in offsets:
         jit = jnp.broadcast_to(jnp.asarray([ox, oy], jnp.float32), (r, 2))
         for s in range(n_dof):
-            dof_u = None
-            if use_dof:
-                dof_u = jnp.broadcast_to(
-                    jnp.asarray([radical2(s), (s + 0.5) / n_dof], jnp.float32),
-                    (r, 2))
-            o, d = cam_mod.rays_from_pixels(camera, px, py, jit, dof_u)
+            o, d = cam_mod.rays_from_pixels(camera, px, py, jit, lens_u(s))
             # DoF consumes one recursion level (trace(level+1), :246)
             image = image + _trace_queue(scene, o, d, cfg,
                                          lvl0=1 if use_dof else 0) \
@@ -250,7 +266,8 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
     return image.reshape(h, w, 3)
 
 
-def _adaptive_image(scene, px, py, camera, cfg: WhittedConfig) -> jnp.ndarray:
+def _adaptive_image(scene, px, py, camera, cfg: WhittedConfig, dof_u=None,
+                    lvl0: int = 0) -> jnp.ndarray:
     """Adaptive supersampling (adaptiveSampling,
     Simple_CPU_Raytracer.cpp:275-294): trace the pixel's four inset corners
     (step 1/20 from the edges), then quadtree-refine squares whose corner
@@ -263,20 +280,21 @@ def _adaptive_image(scene, px, py, camera, cfg: WhittedConfig) -> jnp.ndarray:
 
     def ray(jx, jy):
         jit = jnp.broadcast_to(jnp.asarray([jx, jy], jnp.float32), (r, 2))
-        return cam_mod.rays_from_pixels(camera, px, py, jit)
+        return cam_mod.rays_from_pixels(camera, px, py, jit, dof_u)
 
     # ray1=(x1,y2) ray2=(x2,y2) ray3=(x1,y1) ray4=(x2,y1)  (:280-288)
     o, d1 = ray(step, 1.0 - step)
     _, d2 = ray(1.0 - step, 1.0 - step)
     _, d3 = ray(step, step)
     _, d4 = ray(1.0 - step, step)
-    tr = lambda dd: _trace_queue(scene, o, dd, cfg)
+    tr = lambda dd: _trace_queue(scene, o, dd, cfg, lvl0=lvl0)
     c1, c2, c3, c4 = tr(d1), tr(d2), tr(d3), tr(d4)
     return _adaptive_square(scene, o, (d1, d2, d3, d4), (c1, c2, c3, c4),
-                            cfg, 0)
+                            cfg, 0, lvl0=lvl0)
 
 
-def _adaptive_square(scene, o, dirs, colors, cfg: WhittedConfig, depth: int):
+def _adaptive_square(scene, o, dirs, colors, cfg: WhittedConfig, depth: int,
+                     lvl0: int = 0):
     """adaptiveSamplingRecursive (Simple_CPU_Raytracer.cpp:296-341): if any
     pairwise corner-color distance exceeds the threshold, trace the five
     edge/center midpoints and recurse into the four subsquares; pixels below
@@ -296,13 +314,13 @@ def _adaptive_square(scene, o, dirs, colors, cfg: WhittedConfig, depth: int):
     n3 = (d1 + d4) / 2.0
     n4 = (d2 + d4) / 2.0
     n5 = (d3 + d4) / 2.0
-    tr = lambda dd: _trace_queue(scene, o, dd, cfg)
+    tr = lambda dd: _trace_queue(scene, o, dd, cfg, lvl0=lvl0)
     cn1, cn2, cn3, cn4, cn5 = tr(n1), tr(n2), tr(n3), tr(n4), tr(n5)
 
-    r1 = _adaptive_square(scene, o, (d1, n1, n2, n3), (c1, cn1, cn2, cn3), cfg, depth + 1)
-    r2 = _adaptive_square(scene, o, (n1, d2, n3, n4), (cn1, c2, cn3, cn4), cfg, depth + 1)
-    r3 = _adaptive_square(scene, o, (n2, n3, d3, n5), (cn2, cn3, c3, cn5), cfg, depth + 1)
-    r4 = _adaptive_square(scene, o, (n3, n4, n5, d4), (cn3, cn4, cn5, c4), cfg, depth + 1)
+    r1 = _adaptive_square(scene, o, (d1, n1, n2, n3), (c1, cn1, cn2, cn3), cfg, depth + 1, lvl0)
+    r2 = _adaptive_square(scene, o, (n1, d2, n3, n4), (cn1, c2, cn3, cn4), cfg, depth + 1, lvl0)
+    r3 = _adaptive_square(scene, o, (n2, n3, d3, n5), (cn2, cn3, c3, cn5), cfg, depth + 1, lvl0)
+    r4 = _adaptive_square(scene, o, (n3, n4, n5, d4), (cn3, cn4, cn5, c4), cfg, depth + 1, lvl0)
     refined = (r1 + r2 + r3 + r4) / 4.0
     return jnp.where(refine[:, None], refined, flat)
 

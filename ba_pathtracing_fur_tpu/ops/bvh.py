@@ -144,8 +144,10 @@ def build(prim_bmin, prim_bmax, leaf_size: int = 8) -> BVH:
     order = jnp.argsort(codes).astype(jnp.int32)
 
     perm = jnp.full((n_slots,), -1, jnp.int32).at[:n].set(order)
-    pad_min = jnp.full((n_slots, 3), BIG)
-    pad_max = jnp.full((n_slots, 3), -BIG)
+    # explicit f32: with jax_enable_x64 a python-float fill would make f64
+    # pad boxes and promote every concatenated node array (ADVICE r2)
+    pad_min = jnp.full((n_slots, 3), BIG, jnp.float32)
+    pad_max = jnp.full((n_slots, 3), -BIG, jnp.float32)
     sbmin = pad_min.at[:n].set(prim_bmin[order])
     sbmax = pad_max.at[:n].set(prim_bmax[order])
 

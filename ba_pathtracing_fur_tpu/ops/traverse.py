@@ -314,10 +314,12 @@ def _has_bvh(scene: DeviceScene) -> bool:
 
 # Pallas brute-force policy, decided by data (benchmarks/ab_intersect.py on
 # TPU v5e, out/AB_INTERSECT.json): the streaming kernels beat the jnp [R,P]
-# grid at ~100k tris (+23%) / ~72k cones (+39%) but lose below ~10k prims
-# (launch overhead), and the LBVH wins whenever one is attached. So the
-# no-BVH path auto-selects Pallas on TPU for big packs; the tri-state
-# override (True/False/None=auto) replaces round 1's dead default-off switch.
+# grid at ~100k tris (+23%) / ~72k cones (+39%); at 34 tris the two are
+# within noise (2.73M vs 2.62M rays/s), and no mid-size scene between those
+# extremes has been measured, so the 16k threshold is a conservative floor
+# (jnp is never materially worse below it), not a measured crossover. The
+# LBVH wins whenever one is attached. The tri-state override
+# (True/False/None=auto) replaces round 1's dead default-off switch.
 _PALLAS_BRUTEFORCE: bool | None = None
 _PALLAS_MIN_PRIMS = 16384
 

@@ -51,6 +51,10 @@ def measure_scaling(scene, camera, cfg: RenderConfig,
     """
     if device_counts is None:
         device_counts = _powers_of_two_up_to(len(jax.devices()))
+    if device_counts[0] != 1:
+        # speedup/efficiency are defined vs the 1-device run; always
+        # include it so "efficiency" means the BASELINE 1->N metric.
+        device_counts = [1] + [n for n in device_counts if n > 1]
     w, h = camera.resolution
     rays = float(w * h) * cfg.spp * cfg.depth
     key = jax.random.key(0)
@@ -107,9 +111,14 @@ def main(argv: Sequence[str] | None = None) -> None:
     p.add_argument("--geo", type=int, default=1)
     args = p.parse_args(argv)
 
-    if len(jax.devices()) < args.devices and jax.default_backend() != "cpu":
-        # re-exec on a virtual CPU mesh of the requested size
+    if (len(jax.devices()) < args.devices
+            and not os.environ.get("_SCALING_REEXEC")):
+        # Re-exec on a virtual CPU mesh of the requested size. Guarded by an
+        # env sentinel (not the backend) so a CPU-only host with 1 device
+        # still re-execs to get the virtual mesh; the sentinel prevents
+        # infinite recursion if the flag doesn't take effect.
         env = dict(os.environ,
+                   _SCALING_REEXEC="1",
                    JAX_PLATFORMS="cpu",
                    XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
                    + f" --xla_force_host_platform_device_count={args.devices}")

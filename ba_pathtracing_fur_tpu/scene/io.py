@@ -45,13 +45,18 @@ def _load_mesh_entry(entry: dict, directory: str) -> HostMesh:
     path = entry.get("path", "")
     real = os.path.join(directory, path)
     ext = os.path.splitext(real)[1].lower()
-    if ext in (".obj", ".dae"):
+    if ext == ".obj":
         from .obj import load_obj
         return load_obj(real)
     if ext in (".b3df", ".bin"):
         from .binmesh import load_binary_mesh
         return load_binary_mesh(real)
-    raise ValueError(f"unsupported mesh format: {real}")
+    # The reference loads any Assimp format (SceneGraph.cpp:85-139); this
+    # build supports OBJ + its own binary format. Reject anything else
+    # loudly instead of misparsing it (e.g. Collada .dae is XML, not OBJ).
+    raise ValueError(
+        f"unsupported mesh format {ext!r} ({real}): supported are .obj and "
+        f".b3df/.bin — convert Collada/FBX/etc. to OBJ first")
 
 
 def _parse_light(entry: dict) -> LightDesc:
