@@ -150,7 +150,8 @@ def build_light_subpaths(scene: DeviceScene, key, samples_per_light: int,
                                        scene.textures, scene.tex_slots)
         u_b = rng.bounce_uniform(keys, j, 2, tag=12)
         bs = bsdf_mod.sample_surface(mp, -d, norm_j, u_b,
-                                     jnp.zeros((p,), jnp.int32))
+                                     jnp.zeros((p,), jnp.int32),
+                                     present=scene.bsdfs_present)
         # hit_color *= reflectance * clamp(|cos|*pdf, 0, 1)
         # (lbb_construction.compute:344-346)
         w = jnp.clip(jnp.abs(vm.dot(bs.wo, norm_j)) * bs.pdf, 0.0, 1.0)

@@ -294,14 +294,23 @@ _SURFACE_BSDFS = (
 )
 
 
-def sample_surface(mp: MatParams, wi, n, u, flags) -> BsdfSample:
+def sample_surface(mp: MatParams, wi, n, u, flags,
+                   present: tuple = ()) -> BsdfSample:
     """Evaluate every surface BSDF and select per-ray by bsdf_id.
 
     BSDF::sample's zero-dot guard (Bsdf.cpp:181) is applied at the end.
     Hair ids fall through with zeros; models/fur.py overrides them.
+
+    `present` (DeviceScene.bsdfs_present static): when non-empty, BSDFs
+    whose id cannot occur in this scene are skipped entirely — same result,
+    much smaller program (and grad graph). () evaluates all.
     """
+    bsdfs = [(b, f) for b, f in _SURFACE_BSDFS
+             if not present or b in present]
+    if not bsdfs:  # pure-hair table: any surface fn works as the zero base
+        bsdfs = [_SURFACE_BSDFS[0]]
     out = None
-    for bid, fn in _SURFACE_BSDFS:
+    for bid, fn in bsdfs:
         res = fn(mp, wi, n, u, flags)
         if out is None:
             out = res

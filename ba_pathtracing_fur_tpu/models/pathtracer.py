@@ -83,6 +83,12 @@ class RenderConfig(NamedTuple):
     # sample index instead of an independent uniform per sample. Lower
     # pixel variance at equal spp; still shard-bit-identical.
     qmc: bool = False
+    # Rematerialize each bounce under reverse-mode AD (jax.checkpoint on
+    # the trace_bounce body): the depth-scan's AD otherwise stacks ~2k
+    # internal residuals per bounce (measured via HLO dump), which balloons
+    # the XLA graph the multichip train step compiles. Costs one extra
+    # forward evaluation of the body in the backward sweep.
+    remat: bool = False
     # Firefly ceiling: the reference's hair lobes are unbounded in the
     # 1/cos^2(theta_d) tail (Bsdf.cpp:567,661) and can reach inf, which the
     # running-mean accumulator would turn into NaN. Throughput is clamped to
@@ -221,8 +227,9 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
     ambient = scene.env.ambient * bsdf_mod.evaluate_light(mp, n, n, n) / jnp.pi
     accum = (direct + ambient) * radiance
 
-    # surface BSDF sample
-    bs = bsdf_mod.sample_surface(mp, counter, n, u_bsdf, state.flags)
+    # surface BSDF sample (statically restricted to this scene's BSDFs)
+    bs = bsdf_mod.sample_surface(mp, counter, n, u_bsdf, state.flags,
+                                 present=scene.bsdfs_present)
     if scene.has_hair:
         # hair BSDF sample (automaton); compute-all-select against the
         # surface sample — skipped entirely for fur-less scenes (static gate)
@@ -340,13 +347,24 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
             ray_chunk=cfg.ray_chunk, occlude_fn=occlude_fn,
             closest_fn=closest_fn)
 
+    bounce_fn = trace_bounce
+    if cfg.remat:
+        bounce_fn = jax.checkpoint(
+            lambda st, sc, ks, b, n_alive=None: trace_bounce(
+                st, sc, ks, b, cfg, closest_fn, occlude_fn, subpaths,
+                n_alive=n_alive),
+            static_argnums=())
+
     if cfg.compact:
         from ..ops import compact as compact_mod
 
         def body(b, carry):
             st, ks, slot, n_alive = carry
-            st = trace_bounce(st, scene, ks, b, cfg, closest_fn, occlude_fn,
-                              subpaths, n_alive=n_alive)
+            if cfg.remat:
+                st = bounce_fn(st, scene, ks, b, n_alive=n_alive)
+            else:
+                st = trace_bounce(st, scene, ks, b, cfg, closest_fn,
+                                  occlude_fn, subpaths, n_alive=n_alive)
             alive = jnp.any(st.radiance != 0.0, axis=-1)
             perm, n_alive = compact_mod.compaction_permutation(alive)
             st = compact_mod.gather_pytree(st, perm)
@@ -358,6 +376,8 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
         color = jnp.zeros_like(state.color).at[slot].set(state.color)
     else:
         def body(b, st):
+            if cfg.remat:
+                return bounce_fn(st, scene, keys, b)
             return trace_bounce(st, scene, keys, b, cfg, closest_fn,
                                 occlude_fn, subpaths)
 
@@ -400,8 +420,12 @@ def render_image(scene: DeviceScene, camera: cam_mod.Camera, key,
             )(i * bsz + jnp.arange(bsz))
             return acc + (cs.mean(0) - acc) / (i + 1.0)
 
-    acc = jax.lax.fori_loop(0, cfg.spp // bsz, body,
-                            jnp.zeros((r, 3), jnp.float32))
+    trips = cfg.spp // bsz
+    init = jnp.zeros((r, 3), jnp.float32)
+    # trip-count-1 elision: a 1-trip fori_loop still pays the full scan-AD
+    # machinery under grad (measured: the spp wrapper alone added ~40% to
+    # the sharded train-step XLA compile) — call the body directly instead
+    acc = body(0, init) if trips == 1 else jax.lax.fori_loop(0, trips, body, init)
     img = acc.reshape(h, w, 3)
     if cfg.tonemap:
         from ..ops import tonemap

@@ -18,6 +18,7 @@ principle: every accelerated path has a brute-force reference twin).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..core import vecmath as vm
@@ -26,7 +27,11 @@ from ..scene.types import (
     LIGHT_POINT, LIGHT_QUAD, LIGHT_SPOT, LIGHT_SUN,
 )
 
-INF = jnp.float32(3.4e38)
+# numpy scalar, NOT jnp: a module-level jnp constant commits to a device at
+# IMPORT time, initializing the backend before callers (scaling CLI, the
+# multichip dryrun) can force their platform/device-count config. Promotion
+# behavior in jnp expressions is identical (strong f32 scalar).
+INF = np.float32(3.4e38)
 TRI_EPS = 1.1920929e-7  # FLT_EPSILON, as used by Light::intersectTriangle
 
 

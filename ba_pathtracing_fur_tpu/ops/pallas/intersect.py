@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...scene.types import ConePack, TrianglePack
 
-INF = jnp.float32(3.4e38)
+INF = np.float32(3.4e38)  # numpy: no backend init at import (see ops.intersect)
 _INF = 3.4e38  # python literal: kernels must not capture traced constants
 TRI_EPS = 1.1920929e-7
 

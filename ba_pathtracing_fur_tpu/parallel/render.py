@@ -93,6 +93,7 @@ def scene_partition_specs(scene: DeviceScene, geo_axis: str = GEO_AXIS):
         # static metadata must match the scene's treedef exactly
         has_hair=scene.has_hair,
         tex_slots=scene.tex_slots,
+        bsdfs_present=scene.bsdfs_present,
     )
 
 
@@ -245,9 +246,10 @@ def render_image_sharded(scene: DeviceScene, camera: cam_mod.Camera, key,
                                   closest_fn=closest, occlude_fn=occlude)
             return acc + (c - acc) / (i + 1.0)
 
-        out = jax.lax.fori_loop(
-            0, cfg.spp, body, jnp.zeros((pixel_ids.shape[0], 3), jnp.float32))
-        return out
+        init = jnp.zeros((pixel_ids.shape[0], 3), jnp.float32)
+        # trip-count-1 elision (see models.pathtracer.render_image)
+        return body(0, init) if cfg.spp == 1 else jax.lax.fori_loop(
+            0, cfg.spp, body, init)
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,

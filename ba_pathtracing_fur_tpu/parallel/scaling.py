@@ -111,6 +111,13 @@ def main(argv: Sequence[str] | None = None) -> None:
     p.add_argument("--geo", type=int, default=1)
     args = p.parse_args(argv)
 
+    if os.environ.get("_SCALING_REEXEC"):
+        # The re-exec'd child must actually land on the virtual CPU mesh:
+        # env JAX_PLATFORMS alone loses to TPU-plugin sitecustomizes that
+        # force jax_platforms via jax.config, so force it back (before the
+        # backend initializes on the first jax.devices() call below).
+        jax.config.update("jax_platforms", "cpu")
+
     if (len(jax.devices()) < args.devices
             and not os.environ.get("_SCALING_REEXEC")):
         # Re-exec on a virtual CPU mesh of the requested size. Guarded by an

@@ -19,6 +19,7 @@ from .types import (
     BSDF_SPECULAR_REFLECTION, DeviceScene, Environment,
     empty_cone_pack, empty_triangle_pack,
     make_cone_pack, make_light_pack, make_material_table, make_triangle_pack,
+    scene_bsdfs_present,
     scene_has_hair,
 )
 
@@ -92,12 +93,14 @@ def cornell_box(resolution=(256, 256), variant="diffuse", light_kind="quad"):
              const_att=1.0),
     ])
 
+    mat_table = make_material_table(mats)
     scene = DeviceScene(
         tris=pack, cones=empty_cone_pack(),
-        materials=make_material_table(mats), lights=lights,
+        materials=mat_table, lights=lights,
         env=Environment(color=np.zeros(3, np.float32) + 0.0,
                         ambient=np.zeros(3, np.float32)),
         has_hair=False,
+        bsdfs_present=scene_bsdfs_present(mat_table),
     )
     cam = make_camera(position=(0.0, 0.0, 3.4), look_at=(0.0, 0.0, -1.0),
                       up=(0.0, 1.0, 0.0), resolution=resolution)
@@ -165,6 +168,7 @@ def tri_terrain(resolution=(512, 512), n_tris=100_000, seed=0):
                         ambient=np.asarray((0.05, 0.05, 0.05), np.float32)),
         textures=build_atlas([tex]), tex_slots=("diffuse",),
         has_hair=False,
+        bsdfs_present=scene_bsdfs_present(mat_table),
     )
     cam = make_camera(position=(0.0, 0.9, 1.8), look_at=(0.0, -0.1, -1.0),
                       up=(0.0, 1.0, 0.0), resolution=resolution)
@@ -208,6 +212,7 @@ def fur_patch(resolution=(256, 256), fibers_per_face=5, fiber_verts=10,
         env=Environment(color=np.asarray((0.05, 0.06, 0.08), np.float32),
                         ambient=np.asarray((0.08, 0.08, 0.08), np.float32)),
         has_hair=scene_has_hair(mat_table),
+        bsdfs_present=scene_bsdfs_present(mat_table),
     )
     cam = make_camera(position=(0.0, 0.45, 1.1), look_at=(0.0, -0.35, -1.0),
                       up=(0.0, 1.0, 0.0), resolution=resolution)
@@ -270,6 +275,7 @@ def hair_ball(resolution=(512, 512), n_fibers=10000, fiber_verts=10,
         env=Environment(color=np.asarray((0.1, 0.1, 0.12), np.float32),
                         ambient=np.asarray((0.05, 0.05, 0.05), np.float32)),
         has_hair=scene_has_hair(mat_table),
+        bsdfs_present=scene_bsdfs_present(mat_table),
     )
     cam = make_camera(position=(0.0, 0.3, 2.2), look_at=(0.0, -0.1, -1.0),
                       up=(0.0, 1.0, 0.0), resolution=resolution)

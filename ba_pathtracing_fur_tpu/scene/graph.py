@@ -25,6 +25,7 @@ from . import mesh as mesh_mod
 from .types import (
     DeviceScene, Environment, empty_cone_pack, empty_triangle_pack,
     make_cone_pack, make_light_pack, make_material_table, make_triangle_pack,
+    scene_bsdfs_present,
     scene_has_hair,
 )
 
@@ -385,7 +386,8 @@ def flatten(graph: SceneGraph, fiber_as_cylinder: bool = True,
                         materials=mat_table,
                         lights=make_light_pack(lights), env=env,
                         textures=atlas, tex_slots=tex_slots,
-                        has_hair=scene_has_hair(mat_table))
+                        has_hair=scene_has_hair(mat_table),
+                        bsdfs_present=scene_bsdfs_present(mat_table))
 
     cam = None
     if graph.active_camera is not None:

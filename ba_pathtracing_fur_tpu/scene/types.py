@@ -234,6 +234,12 @@ class DeviceScene:
     # (subset of TEXTURE_SLOTS) — gates the per-slot bilinear fetch in
     # gather_materials so un-textured slots cost nothing.
     tex_slots: tuple = struct.field(pytree_node=False, default=())
+    # static: sorted tuple of surface bsdf ids present in the material
+    # table, or () = unknown (evaluate all — always safe). Gates the
+    # compute-all-select in bsdf.sample_surface: a diffuse-only Cornell
+    # traces 1 BSDF instead of 9, which shrinks every jit (and the grad
+    # graph the multichip dryrun compiles) substantially.
+    bsdfs_present: tuple = struct.field(pytree_node=False, default=())
 
 
 def scene_has_hair(materials: "MaterialTable") -> bool:
@@ -241,6 +247,14 @@ def scene_has_hair(materials: "MaterialTable") -> bool:
     time, outside jit)."""
     import numpy as _np
     return bool(_np.any(_np.asarray(materials.shader_id) == SHADER_MARSCHNER_HAIR))
+
+
+def scene_bsdfs_present(materials: "MaterialTable") -> tuple:
+    """Host-side: sorted tuple of distinct bsdf ids in the table (for the
+    DeviceScene.bsdfs_present static; call at build time, outside jit)."""
+    import numpy as _np
+    return tuple(sorted(int(b) for b in
+                        _np.unique(_np.asarray(materials.bsdf_id))))
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,8 @@ jax.config.update("jax_enable_x64", False)
 # multi-device modules are the long tail of the ~10-minute suite; select the
 # quick tier with `pytest -m "not slow"`.
 _SLOW_MODULES = {"test_parallel", "test_diff", "test_bdpt", "test_whitted",
-                 "test_mis", "test_pathtracer", "test_scaling"}
+                 "test_mis", "test_pathtracer", "test_scaling",
+                 "test_dryrun_budget"}
 
 
 def pytest_collection_modifyitems(config, items):
