@@ -178,6 +178,20 @@ def _xp(x):
     return np if isinstance(x, np.ndarray) else jnp
 
 
+def _pack_comps(comps, n_leaves, k, xp):
+    """[C, W, K] component-major layout from W [N]-arrays. numpy: direct
+    per-component writes (one pass; the old stack+transpose churned 3x the
+    bytes — 5 s at 9M cones); jnp: stack+transpose (XLA fuses it anyway)."""
+    w = len(comps)
+    if xp is np:
+        out = np.empty((n_leaves, w, k), np.float32)
+        for i, c in enumerate(comps):
+            out[:, i, :] = c.reshape(n_leaves, k)
+        return out
+    packed = jnp.stack(comps, axis=1).reshape(n_leaves, k, w)
+    return jnp.transpose(packed, (0, 2, 1))
+
+
 def pack_tris(tris: TrianglePack, bvh: BVH) -> BVH:
     """Pack the (already reordered) triangle pack for traversal:
     [C, 9, K] = (v0, e1, e2) per component, component-major."""
@@ -189,8 +203,7 @@ def pack_tris(tris: TrianglePack, bvh: BVH) -> BVH:
     comps = [v0[:, 0], v0[:, 1], v0[:, 2],
              e1[:, 0], e1[:, 1], e1[:, 2],
              e2[:, 0], e2[:, 1], e2[:, 2]]
-    packed = xp.stack(comps, axis=1).reshape(bvh.n_leaves, k, len(comps))
-    return bvh.replace(packed=xp.transpose(packed, (0, 2, 1)))
+    return bvh.replace(packed=_pack_comps(comps, bvh.n_leaves, k, xp))
 
 
 def pack_cones(cones: ConePack, bvh: BVH) -> BVH:
@@ -206,8 +219,7 @@ def pack_cones(cones: ConePack, bvh: BVH) -> BVH:
              cones.v[:, 0], cones.v[:, 1], cones.v[:, 2],
              cones.w[:, 0], cones.w[:, 1], cones.w[:, 2],
              cones.slope, cones.r_base, cones.min_d, cones.max_d]
-    packed = xp.stack(comps, axis=1).reshape(bvh.n_leaves, k, len(comps))
-    return bvh.replace(packed=xp.transpose(packed, (0, 2, 1)))
+    return bvh.replace(packed=_pack_comps(comps, bvh.n_leaves, k, xp))
 
 
 def _ranges_to_perm(order, bounds, n_leaves, leaf_size):
@@ -283,8 +295,10 @@ def _finalize_host(perm, bmin, bmax, n_leaves, leaf_size) -> BVH:
     TPU hosts)."""
     keep = perm >= 0
     safe = np.maximum(perm, 0)
-    sbmin = np.where(keep[:, None], bmin[safe], np.float32(BIG))
-    sbmax = np.where(keep[:, None], bmax[safe], np.float32(-BIG))
+    sbmin = bmin[safe]
+    sbmax = bmax[safe]
+    sbmin[~keep] = np.float32(BIG)   # in-place: only padding rows touched
+    sbmax[~keep] = np.float32(-BIG)
 
     lmin = sbmin.reshape(n_leaves, leaf_size, 3).min(axis=1)
     lmax = sbmax.reshape(n_leaves, leaf_size, 3).max(axis=1)
@@ -296,6 +310,25 @@ def _finalize_host(perm, bmin, bmax, n_leaves, leaf_size) -> BVH:
                bmax=np.concatenate(levels_max, 0),
                perm=perm.astype(np.int32), packed=None,
                n_leaves=n_leaves, leaf_size=leaf_size)
+
+
+@partial(jax.jit, static_argnames=("n_leaves", "leaf_size"))
+def _finalize_device(perm, bmin, bmax, n_leaves, leaf_size):
+    """Device-side twin of _finalize_host's AABB phase: leaf reduction over
+    the slot permutation + bottom-up heap concatenation, as ONE jit (a 9M-
+    prim hair ball finalizes in ms of HBM bandwidth instead of seconds of
+    host numpy). Same math, same f32 ops — bit-identical to the host path."""
+    keep = perm >= 0
+    safe = jnp.maximum(perm, 0)
+    sbmin = jnp.where(keep[:, None], bmin[safe], jnp.float32(BIG))
+    sbmax = jnp.where(keep[:, None], bmax[safe], jnp.float32(-BIG))
+    lmin = sbmin.reshape(n_leaves, leaf_size, 3).min(axis=1)
+    lmax = sbmax.reshape(n_leaves, leaf_size, 3).max(axis=1)
+    levels_min, levels_max = [lmin], [lmax]
+    while levels_min[0].shape[0] > 1:
+        levels_min.insert(0, levels_min[0].reshape(-1, 2, 3).min(axis=1))
+        levels_max.insert(0, levels_max[0].reshape(-1, 2, 3).max(axis=1))
+    return jnp.concatenate(levels_min, 0), jnp.concatenate(levels_max, 0)
 
 
 def build_sah(prim_bmin, prim_bmax, leaf_size: int = 256,
@@ -419,19 +452,25 @@ def build_grid(prim_bmin, prim_bmax, leaf_size: int = 256,
     return _finalize_host(perm, bmin, bmax, n_leaves, leaf_size)
 
 
+def _take_padded(x, safe, keep, pad_val):
+    """x[safe] with padding rows (where ~keep) set to pad_val. numpy path:
+    in-place assignment on the (few) padding rows instead of a full-size
+    where pass — the where doubled reorder traffic (7.6 s at 9M cones)."""
+    g = x[safe]
+    if isinstance(g, np.ndarray):
+        g[~keep] = pad_val
+        return g
+    mask = keep.reshape((-1,) + (1,) * (g.ndim - 1))
+    return jnp.where(mask, g, pad_val)
+
+
 def reorder_tris(tris: TrianglePack, bvh: BVH) -> TrianglePack:
     """Morton-reorder + pad the pack so leaf rows are contiguous; padding
     rows are all-zero degenerate triangles (det==0 ⇒ never hit)."""
     xp = _xp(bvh.perm)
     safe = xp.maximum(bvh.perm, 0)
     keep = (bvh.perm >= 0)
-
-    def take(x):
-        g = x[safe]
-        mask = keep.reshape((-1,) + (1,) * (g.ndim - 1))
-        return _xp(g).where(mask, g, 0)
-
-    return jax.tree.map(take, tris)
+    return jax.tree.map(lambda x: _take_padded(x, safe, keep, 0), tris)
 
 
 def reorder_cones(cones: ConePack, bvh: BVH) -> ConePack:
@@ -439,17 +478,10 @@ def reorder_cones(cones: ConePack, bvh: BVH) -> ConePack:
     xp = _xp(bvh.perm)
     safe = xp.maximum(bvh.perm, 0)
     keep = (bvh.perm >= 0)
-
-    def take(x):
-        g = x[safe]
-        mask = keep.reshape((-1,) + (1,) * (g.ndim - 1))
-        return _xp(g).where(mask, g, 0)
-
-    out = jax.tree.map(take, cones)
-    xpo = _xp(out.min_d)
+    out = jax.tree.map(lambda x: _take_padded(x, safe, keep, 0), cones)
     return out.replace(
-        min_d=xpo.where(keep, out.min_d, 1.0),
-        max_d=xpo.where(keep, out.max_d, -1.0),
+        min_d=_take_padded(cones.min_d, safe, keep, 1.0),
+        max_d=_take_padded(cones.max_d, safe, keep, -1.0),
     )
 
 

@@ -185,23 +185,22 @@ def cone_texcoord(cones: ConePack, cone_id, point):
 
 
 def cone_aabbs(cones: ConePack):
-    """World AABBs from the 8 transformed local-bound corners
-    (Cylinder::computeBounds, Cylinder.cpp:306-336). Returns ([F,3],[F,3]).
-    Works on host (numpy packs — no device round-trip during scene build)
-    and on device alike."""
+    """World AABBs of the local bound box (Cylinder::computeBounds,
+    Cylinder.cpp:306-336), in closed form: the min/max over the 8 corners
+    base + sx*r*u + sy*h*v + sz*r*w (sx,sz in {-1,1}, sy in {0,1})
+    separates per world axis into base + min/max(0, h*v) -/+ r*(|u|+|w|).
+    Identical bounds to enumerating the corners (modulo f32 association, and
+    conservative either way), ~8x fewer passes — the corner loop was the
+    single most expensive stage of the 9M-cone hair-ball build (18.7 s
+    measured). Returns ([F,3],[F,3]); works on host and device alike."""
     import numpy as _np
     xp = _np if isinstance(cones.base, _np.ndarray) else jnp
-    radius = xp.maximum(cones.r_base, cones.r_apex) + 1e-6
-    h = cones.height
-    corners = []
-    for sx in (-1.0, 1.0):
-        for sy in (0.0, 1.0):
-            for sz in (-1.0, 1.0):
-                p = (sx * radius)[:, None] * cones.u + (sy * h)[:, None] * cones.v \
-                    + (sz * radius)[:, None] * cones.w + cones.base
-                corners.append(p)
-    pts = xp.stack(corners, axis=1)  # [F,8,3]
-    return pts.min(axis=1), pts.max(axis=1)
+    radius = (xp.maximum(cones.r_base, cones.r_apex) + 1e-6)[:, None]
+    hv = cones.height[:, None] * cones.v
+    r_uw = radius * (xp.abs(cones.u) + xp.abs(cones.w))
+    lo = cones.base + xp.minimum(hv, 0.0) - r_uw
+    hi = cones.base + xp.maximum(hv, 0.0) + r_uw
+    return lo, hi
 
 
 def triangle_aabbs(tris: TrianglePack):

