@@ -92,10 +92,20 @@ def auto_fanout(n_leaves: int, max_supers: int = 1024) -> int:
 _DEVICE_BUILD_MIN = 1 << 20
 
 
+#: Stage timings of the most recent _attach_one_device call (seconds):
+#: {"transfer": host->device pack upload, "split": C++ median + perm
+#: scatter + centroid pull, "device": AABB/heap/reorder/pack on device}.
+#: The upload dominates on tunneled dev setups but is work the renderer
+#: pays regardless of WHERE the BVH is built — bench reports it separately.
+LAST_BUILD_STATS: dict = {}
+
+
 def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
                        leaf_target=256):
     """Device-side median build for one pack (see attach_bvh). Returns
     (reordered device pack, device BVH) or None to fall back to host."""
+    import time
+
     import numpy as np
     from .. import native
     from ..scene.types import to_device
@@ -104,7 +114,9 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
     k = leaf_size or auto_leaf_size(n, leaf_target)
     n_leaves = bvh_mod._next_pow2(max(-(-n // k), 1))
 
-    dev = to_device(pack)
+    t0 = time.perf_counter()
+    dev = jax.block_until_ready(to_device(pack))
+    t_up = time.perf_counter()
     bmin, bmax = jax.jit(aabb_fn)(dev)
     cent = np.asarray(jax.jit(lambda a, b: 0.5 * (a + b))(bmin, bmax))
     res = native.median_split(cent, n_leaves)
@@ -112,14 +124,28 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
         return None
     order, bounds = res
     perm = bvh_mod._ranges_to_perm(order, bounds, n_leaves, k)
+    t_split = time.perf_counter()
     perm_dev = jnp.asarray(perm.astype(np.int32))
     hmin, hmax = bvh_mod._finalize_device(perm_dev, bmin, bmax, n_leaves, k)
     bvh = bvh_mod.BVH(bmin=hmin, bmax=hmax, perm=perm_dev, packed=None,
                       n_leaves=n_leaves, leaf_size=k)
     f = auto_fanout(n_leaves) if fanout is None else fanout
     bvh = bvh.replace(fanout=f)
-    rp = reorder_fn(dev, bvh)
-    bvh = pack_fn(rp, bvh)
+
+    # ONE compiled program for reorder+pack: eager per-op dispatch over a
+    # tunneled device link cost ~40 s here (measured, 9M cones) for what is
+    # milliseconds of HBM gather work.
+    def _reorder_pack(dv, b):
+        rp = reorder_fn(dv, b)
+        return rp, pack_fn(rp, b).packed
+
+    rp, packed = jax.jit(_reorder_pack)(dev, bvh)
+    bvh = bvh.replace(packed=packed)
+    jax.block_until_ready(bvh.packed)
+    LAST_BUILD_STATS.clear()
+    LAST_BUILD_STATS.update(
+        transfer=round(t_up - t0, 2), split=round(t_split - t_up, 2),
+        device=round(time.perf_counter() - t_split, 2))
     return rp, bvh
 
 

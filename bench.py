@@ -2,11 +2,12 @@
 
 Prints ONE JSON line with the headline metric (config-1 Cornell rays/s, the
 metric tracked since round 1) plus a `configs` table covering BASELINE
-configs 1-5. The reference publishes no numbers (BASELINE.md): its README
-defers to a dead wiki. `vs_baseline` is therefore measured against a nominal
-KIRK-class CPU path tracer throughput of 5e6 rays/s (single node,
-thread-pooled, BVH — the workload class of Demo/main.cpp defaults), which
-is the figure this project's self-generated baseline replaces.
+configs 0-5. The reference publishes no numbers (BASELINE.md): its README
+defers to a dead wiki. `vs_baseline` is measured-vs-measured: the
+denominator is the committed out/CPU_BASELINE.json (benchmarks/
+cpu_baseline.py — the same renderer run single-host on XLA:CPU at
+KIRK-parity settings, the VERDICT-sanctioned stand-in for the reference's
+thread-pooled C++ tracer).
 
 MFU here = XLA cost-analysis FLOPs / wall / chip peak (bf16 systolic peak
 from the device kind). A ray tracer is VPU/gather-bound, not MXU-bound, so
@@ -15,7 +16,7 @@ and to compare kernel variants, not to approach 1.0.
 
 Env knobs:
   BENCH_SMOKE=1     tiny shapes (CI smoke)
-  BENCH_CONFIGS=1,4 comma-separated subset (default "1,2,3,4,5")
+  BENCH_CONFIGS=1,4 comma-separated subset (default "0,1,2,3,4,5")
   BENCH_HAIRBALL_FIBERS / BENCH_HAIRBALL_SPP override config 5's scale
 """
 
@@ -26,7 +27,17 @@ import os
 import sys
 import time
 
-REFERENCE_CPU_RAYS_PER_S = 5.0e6
+def _cpu_baseline_rays_per_s(config: str = "cornell_diffuse") -> float | None:
+    """Measured CPU baseline rate for a config (out/CPU_BASELINE.json),
+    or None when the file hasn't been generated on this host yet."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "out", "CPU_BASELINE.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return float(data["configs"][config]["rays_per_s"])
+    except (OSError, KeyError, ValueError):
+        return None
 
 # bf16 MXU peak FLOP/s by device kind (public spec sheets); fallback 1e14.
 PEAK_FLOPS = {
@@ -48,19 +59,28 @@ def _peak_flops(device) -> float:
 
 
 def _measure(fn, args, rays: int, peak: float):
-    """Compile, warm, time; returns dict(rays_per_s, mfu, wall_s, flops)."""
-    import jax
+    """Compile, warm, time; returns dict(rays_per_s, mfu, wall_s, flops).
 
-    lowered = jax.jit(fn).lower(*args)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis() or {}
+    Times a host->host materialized call (np.asarray of the first output
+    leaf): on tunneled TPU runtimes, block_until_ready on an AOT-executed
+    result was observed returning immediately at GB-scale args (BENCH r3:
+    a 37 s hair-ball render "measured" as 0.0 s) — a device->host copy of
+    the result cannot lie."""
+    import jax
+    import numpy as np
+
+    jfn = jax.jit(fn)
+    cost = jfn.lower(*args).compile().cost_analysis() or {}
     flops = float(cost.get("flops", 0.0))
 
-    out = compiled(*args)
-    jax.block_until_ready(out)
+    def run():
+        out = jfn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        return out
+
+    run()  # warm (compile is cached from the lower() above)
     t0 = time.perf_counter()
-    out = compiled(*args)
-    jax.block_until_ready(out)
+    run()
     wall = time.perf_counter() - t0
     return {
         "rays_per_s": rays / wall,
@@ -114,7 +134,7 @@ def bench_tri_scene(smoke, peak):
 
     res = (64, 64) if smoke else (512, 512)
     spp = 2 if smoke else 16
-    depth, batch = 4, 1 if smoke else 4
+    depth = 4
     n = 2000 if smoke else 100_000
     scene, camera = tri_terrain(resolution=res, n_tris=n)
     scene = traverse.attach_bvh(scene, method="sah")
@@ -122,8 +142,7 @@ def bench_tri_scene(smoke, peak):
     # chunk 2048 + compact: measured best on BVH scenes (round-3 sweep:
     # 1.52M vs 1.18M at chunk 4096 no-compact); smaller chunks cut lockstep
     # divergence, compaction keeps dead lanes out of the traversal
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048, compact=True,
-                       spp_batch=batch)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048, compact=True)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
@@ -161,6 +180,8 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
                  rays, peak)
     m.update(res=list(res), spp=spp, depth=depth, n_cones=scene.cones.count,
              bvh_build_s=round(build_s, 2))
+    if traverse.LAST_BUILD_STATS:
+        m["bvh_build_stages"] = dict(traverse.LAST_BUILD_STATS)
     return m
 
 
@@ -219,19 +240,49 @@ def main() -> None:
             smoke, peak, n, (64, 64) if smoke else (1024, 1024), spp,
             "hair_ball")
 
+    if os.environ.get("BENCH_PROFILE") == "1":
+        # capture a jax.profiler trace of one tri-BVH render (SURVEY §5's
+        # first-class metric pair: rays/s + trace) -> out/profile/
+        from ba_pathtracing_fur_tpu.models.pathtracer import (
+            RenderConfig, render_image)
+        from ba_pathtracing_fur_tpu.ops import traverse
+        from ba_pathtracing_fur_tpu.scene.builtins import tri_terrain
+        from ba_pathtracing_fur_tpu.scene.types import to_device
+        from ba_pathtracing_fur_tpu.utils import profiling
+
+        sc, cam = tri_terrain(resolution=(256, 256), n_tris=100_000)
+        sc = to_device(traverse.attach_bvh(sc, method="sah"))
+        cfg = RenderConfig(depth=4, spp=2, ray_chunk=2048, compact=True)
+        pfn = jax.jit(lambda s, k: render_image(s, cam, k, cfg))
+        summary = profiling.profile_call(pfn, sc, jax.random.key(0),
+                                         logdir="out/profile")
+        with open("out/PROFILE_SUMMARY.json", "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"# profiler trace: {summary['logdir']} "
+              f"({len(summary['files'])} files)", file=sys.stderr)
+
     head = results.get("cornell_diffuse") or next(iter(results.values()))
+    base = _cpu_baseline_rays_per_s("cornell_diffuse")
+    # per-config measured speedups vs the CPU baseline where available
+    for name, v in results.items():
+        b = _cpu_baseline_rays_per_s(name)
+        if b:
+            v["vs_cpu_baseline"] = round(v["rays_per_s"] / b, 2)
     line = {
         "metric": ("cornell_smoke_rays_per_s" if smoke
                    else "cornell_256_64spp_rays_per_s"),
         "value": round(head["rays_per_s"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(head["rays_per_s"] / REFERENCE_CPU_RAYS_PER_S, 3),
+        "vs_baseline": (round(head["rays_per_s"] / base, 3) if base
+                        else None),
         "configs": {
             k: {"rays_per_s": round(v["rays_per_s"], 1),
                 "mfu": round(v["mfu"], 5),
                 "wall_s": round(v["wall_s"], 3),
                 **{kk: v[kk] for kk in ("res", "spp", "depth", "n_cones",
-                                        "n_tris", "bvh_build_s")
+                                        "n_tris", "bvh_build_s",
+                                        "bvh_build_stages",
+                                        "vs_cpu_baseline")
                    if kk in v}}
             for k, v in results.items()
         },

