@@ -102,7 +102,7 @@ def _light_target_deterministic(lights, i, pos):
 
 
 def light_shading(scene: DeviceScene, pos, norm, uv, view, mp, diff_color,
-                  cfg: WhittedConfig, key=None):
+                  cfg: WhittedConfig, key=None, n_alive=None):
     """SimpleCPURaytracer::lightShading (:80-180). Hard shadows by default;
     cfg.soft_shadows averages `shadow_samples` jittered visibility rays per
     light (randomized calcLightdir + jitterBy semantics)."""
@@ -160,7 +160,8 @@ def light_shading(scene: DeviceScene, pos, norm, uv, view, mp, diff_color,
                     sdir = target + scale * sphere - origin
                     blocked = traverse.any_hit(
                         origin, sdir, jax.lax.stop_gradient(scene),
-                        jnp.ones(pos.shape[0]), chunk=cfg.ray_chunk)
+                        jnp.ones(pos.shape[0]), chunk=cfg.ray_chunk,
+                        n_alive=n_alive)
                     vis = vis + jnp.where(blocked, 0.0, 1.0 / ns)
                 direct = direct * vis[:, None]
             else:
@@ -168,7 +169,8 @@ def light_shading(scene: DeviceScene, pos, norm, uv, view, mp, diff_color,
                 blocked = traverse.any_hit(origin, sdir,
                                            jax.lax.stop_gradient(scene),
                                            jnp.ones(pos.shape[0]),
-                                           chunk=cfg.ray_chunk)
+                                           chunk=cfg.ray_chunk,
+                                           n_alive=n_alive)
                 direct = jnp.where(blocked[:, None], 0.0, direct)
         color = color + direct
     return color
@@ -271,10 +273,11 @@ def _adaptive_image(scene, px, py, camera, cfg: WhittedConfig, dof_u=None,
     """Adaptive supersampling (adaptiveSampling,
     Simple_CPU_Raytracer.cpp:275-294): trace the pixel's four inset corners
     (step 1/20 from the edges), then quadtree-refine squares whose corner
-    colors disagree. Wavefront form: refinement is statically unrolled to
-    `adaptive_depth` levels; every level traces all midpoint wavefronts and
-    masks non-refining pixels at the combine, so cost is uniform
-    5·(4^d − 1)/3 extra traces rather than data-dependent recursion."""
+    colors disagree. Wavefront form: refinement levels are statically
+    unrolled to `adaptive_depth`, but each level's midpoint traces are
+    compacted by the refine mask with whole-chunk skipping
+    (_adaptive_square), so the traced work — like the reference's
+    recursion — scales with how many pixels actually refine."""
     step = 1.0 / 20.0
     r = px.shape[0]
 
@@ -294,11 +297,19 @@ def _adaptive_image(scene, px, py, camera, cfg: WhittedConfig, dof_u=None,
 
 
 def _adaptive_square(scene, o, dirs, colors, cfg: WhittedConfig, depth: int,
-                     lvl0: int = 0):
+                     lvl0: int = 0, active=None):
     """adaptiveSamplingRecursive (Simple_CPU_Raytracer.cpp:296-341): if any
     pairwise corner-color distance exceeds the threshold, trace the five
     edge/center midpoints and recurse into the four subsquares; pixels below
-    threshold keep the plain 4-corner average."""
+    threshold keep the plain 4-corner average.
+
+    The refinement levels are statically unrolled (XLA needs static
+    shapes), but the COST is data-dependent like the reference's recursion:
+    each level's midpoint wavefronts are compacted so refining pixels are
+    contiguous and whole dead chunks skip tracing entirely (the same
+    n_alive chunk gating the path tracer's compaction uses). `active`
+    masks pixels whose parent square did not refine — their corner colors
+    are garbage and must not trigger refinement."""
     d1, d2, d3, d4 = dirs
     c1, c2, c3, c4 = colors
     flat = (c1 + c2 + c3 + c4) / 4.0
@@ -308,24 +319,38 @@ def _adaptive_square(scene, o, dirs, colors, cfg: WhittedConfig, depth: int,
     pairs = ((c1, c2), (c1, c3), (c1, c4), (c2, c3), (c2, c4), (c3, c4))
     diff = jnp.stack([jnp.linalg.norm(a - b, axis=-1) for a, b in pairs])
     refine = jnp.max(diff, axis=0) > cfg.adaptive_threshold  # [R]
+    if active is not None:
+        refine = refine & active
 
     n1 = (d1 + d2) / 2.0
     n2 = (d1 + d3) / 2.0
     n3 = (d1 + d4) / 2.0
     n4 = (d2 + d4) / 2.0
     n5 = (d3 + d4) / 2.0
-    tr = lambda dd: _trace_queue(scene, o, dd, cfg, lvl0=lvl0)
+
+    from ..ops import compact as compact_mod
+    perm, n_alive = compact_mod.compaction_permutation(refine)
+    inv = compact_mod.invert_permutation(perm)
+    o_c = o[perm]
+    act_c = refine[perm]
+
+    def tr(dd):
+        c = _trace_queue(scene, o_c, dd[perm], cfg, lvl0=lvl0,
+                         active=act_c, n_alive=n_alive)
+        return c[inv]
+
     cn1, cn2, cn3, cn4, cn5 = tr(n1), tr(n2), tr(n3), tr(n4), tr(n5)
 
-    r1 = _adaptive_square(scene, o, (d1, n1, n2, n3), (c1, cn1, cn2, cn3), cfg, depth + 1, lvl0)
-    r2 = _adaptive_square(scene, o, (n1, d2, n3, n4), (cn1, c2, cn3, cn4), cfg, depth + 1, lvl0)
-    r3 = _adaptive_square(scene, o, (n2, n3, d3, n5), (cn2, cn3, c3, cn5), cfg, depth + 1, lvl0)
-    r4 = _adaptive_square(scene, o, (n3, n4, n5, d4), (cn3, cn4, cn5, c4), cfg, depth + 1, lvl0)
+    r1 = _adaptive_square(scene, o, (d1, n1, n2, n3), (c1, cn1, cn2, cn3), cfg, depth + 1, lvl0, refine)
+    r2 = _adaptive_square(scene, o, (n1, d2, n3, n4), (cn1, c2, cn3, cn4), cfg, depth + 1, lvl0, refine)
+    r3 = _adaptive_square(scene, o, (n2, n3, d3, n5), (cn2, cn3, c3, cn5), cfg, depth + 1, lvl0, refine)
+    r4 = _adaptive_square(scene, o, (n3, n4, n5, d4), (cn3, cn4, cn5, c4), cfg, depth + 1, lvl0, refine)
     refined = (r1 + r2 + r3 + r4) / 4.0
     return jnp.where(refine[:, None], refined, flat)
 
 
-def _trace_queue(scene, o, d, cfg: WhittedConfig, lvl0: int = 0):
+def _trace_queue(scene, o, d, cfg: WhittedConfig, lvl0: int = 0,
+                 active=None, n_alive=None):
     """Lock-step per-ray DFS over the weighted recursion tree.
 
     Node payload = (o, d, color-weight W [R,3], scalar trace-weight w [R],
@@ -367,7 +392,7 @@ def _trace_queue(scene, o, d, cfg: WhittedConfig, lvl0: int = 0):
         it, color, cur, live, stack, sp = carry
         c, t_child, r_child, spawn_t, spawn_r = _trace_shade(
             scene, cur["o"], cur["d"], cur["W"], cur["w"], cur["lvl"],
-            live, cfg)
+            live, cfg, n_alive=n_alive)
         color = color + c
 
         # push the reflection child when BOTH children spawned
@@ -400,7 +425,8 @@ def _trace_queue(scene, o, d, cfg: WhittedConfig, lvl0: int = 0):
         live = cont | pop
         return it + 1, color, cur, live, stack, sp
 
-    init = (jnp.int32(0), zero3, cur, jnp.ones((r,), bool), stack,
+    live0 = jnp.ones((r,), bool) if active is None else active
+    init = (jnp.int32(0), zero3, cur, live0, stack,
             jnp.zeros((r,), jnp.int32))
     _, color, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return color
@@ -411,14 +437,16 @@ def _bc(mask, like):
     return mask[:, None] if like.ndim == 2 else mask
 
 
-def _trace_shade(scene, o, d, W, w, level, live, cfg: WhittedConfig):
+def _trace_shade(scene, o, d, W, w, level, live, cfg: WhittedConfig,
+                 n_alive=None):
     """One wavefront node: trace + shade. `level` is per-ray [R] int32.
     Returns (color contribution [R,3], refraction child, reflection child,
     spawn_t [R], spawn_r [R]); children are node dicts with zeroed payloads
     where not spawned."""
     live = live & jnp.any(W > 0.0, axis=-1)
     t_cap = jnp.where(live, jnp.inf, 0.0)  # dead lanes trace nothing
-    hit = traverse.closest_hit(o, d, scene, t_max=t_cap, chunk=cfg.ray_chunk)
+    hit = traverse.closest_hit(o, d, scene, t_max=t_cap, chunk=cfg.ray_chunk,
+                               n_alive=n_alive)
     view = vm.normalize(d)
 
     # background (:77)
@@ -433,7 +461,7 @@ def _trace_shade(scene, o, d, W, w, level, live, cfg: WhittedConfig):
 
     # --- surface shade (:356-449)
     base = light_shading(scene, hit.position, hit.normal, hit.uv, view, mp,
-                         mp.diffuse, cfg)
+                         mp.diffuse, cfg, n_alive=n_alive)
     norm = hit.normal
     norm_view = _norm_view_flip(norm, view)
 

@@ -261,6 +261,11 @@ def main() -> None:
         print(f"# profiler trace: {summary['logdir']} "
               f"({len(summary['files'])} files)", file=sys.stderr)
 
+    if not results:
+        print(json.dumps({"metric": "none", "value": 0, "unit": "rays/s",
+                          "vs_baseline": None, "configs": {}}))
+        return
+
     head = results.get("cornell_diffuse") or next(iter(results.values()))
     base = _cpu_baseline_rays_per_s("cornell_diffuse")
     # per-config measured speedups vs the CPU baseline where available

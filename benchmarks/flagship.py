@@ -1,0 +1,131 @@
+"""Flagship run at BASELINE spec (config 5): 1M-fiber hair ball, 1024^2,
+256 spp progressive, one differentiable step on the fur parameters.
+
+Matches /root/repo/BASELINE.json config 5 and the reference's default fur
+demo flow (Demo/main.cpp:235 addFurFibersToAllMeshes -> progressive render).
+Progressive accumulation checkpoints every CHECKPOINT_EVERY samples
+(utils.checkpoint), so a partial run still leaves a valid image + resumable
+state — the reference's interactive render-to-PNG-anytime surface
+(Demo/main.cpp:129-141) as a batch artifact.
+
+Writes:
+  out/flagship_hair_ball.png    tonemapped render
+  out/FLAGSHIP.json             wall, rays/s, grad-step time, build stages
+  out/flagship_ckpt.npz         progressive state (resume surface)
+
+Env knobs: FLAGSHIP_FIBERS / FLAGSHIP_RES / FLAGSHIP_SPP / CHECKPOINT_EVERY.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from ba_pathtracing_fur_tpu.models.pathtracer import (
+        RenderConfig, render_sample)
+    from ba_pathtracing_fur_tpu.ops import traverse
+    from ba_pathtracing_fur_tpu.scene import builtins
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+    from ba_pathtracing_fur_tpu.utils import checkpoint as ckpt_mod, film
+
+    fibers = int(os.environ.get("FLAGSHIP_FIBERS", "1000000"))
+    res = int(os.environ.get("FLAGSHIP_RES", "1024"))
+    spp = int(os.environ.get("FLAGSHIP_SPP", "256"))
+    every = int(os.environ.get("CHECKPOINT_EVERY", "16"))
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "out")
+    os.makedirs(out_dir, exist_ok=True)
+    stats: dict = {"fibers": fibers, "res": [res, res], "spp": spp,
+                   "depth": 4}
+
+    t0 = time.perf_counter()
+    scene, camera = builtins.hair_ball(resolution=(res, res),
+                                       n_fibers=fibers)
+    stats["scene_gen_s"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    scene = traverse.attach_bvh(scene, method="median")
+    if scene.cone_bvh is not None:
+        jax.block_until_ready(scene.cone_bvh.packed)
+    stats["bvh_build_s"] = round(time.perf_counter() - t0, 1)
+    stats["bvh_build_stages"] = dict(traverse.LAST_BUILD_STATS)
+    scene = to_device(scene)
+    stats["n_cones"] = int(scene.cones.count)
+
+    cfg = RenderConfig(depth=4, spp=spp, ray_chunk=2048, compact=True)
+    key = jax.random.key(0)
+
+    # --- one differentiable step on the fur lobe parameters at full scale
+    # (BASELINE config 5: "differentiable fur params"). Promotes the
+    # reference's per-eval randomized alpha/beta (Bsdf.cpp:485-489) to real
+    # parameters and takes one SGD step against a darker target.
+    gcfg = RenderConfig(depth=2, spp=1, ray_chunk=2048, compact=False,
+                        remat=True)
+
+    def loss_fn(params, scene, key):
+        mats = scene.materials.replace(**params)
+        c = render_sample(scene.replace(materials=mats), camera, key, 0, gcfg)
+        return jnp.mean(c)
+
+    params = {"hair_alpha": scene.materials.hair_alpha,
+              "hair_beta": scene.materials.hair_beta}
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    t0 = time.perf_counter()
+    loss, grads = grad_fn(params, scene, jax.random.key(11))
+    jax.block_until_ready((loss, grads))
+    stats["grad_step_compile_plus_run_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    loss, grads = grad_fn(params, scene, jax.random.key(12))
+    jax.block_until_ready((loss, grads))
+    stats["grad_step_s"] = round(time.perf_counter() - t0, 2)
+    stats["grad_loss"] = float(loss)
+    stats["grad_norms"] = {k: float(jnp.linalg.norm(v))
+                           for k, v in grads.items()}
+    print(f"# grad step {stats['grad_step_s']}s loss={loss:.5f} "
+          f"norms={stats['grad_norms']}", flush=True)
+
+    # --- progressive 256-spp render with checkpointing
+    r = res * res
+    acc = jnp.zeros((r, 3), jnp.float32)
+    sample_jit = jax.jit(render_sample, static_argnames=("cfg",))
+    t_start = time.perf_counter()
+    done = 0
+    for i in range(spp):
+        c = sample_jit(scene, camera, key, i, cfg)
+        acc = acc + (c - acc) / (i + 1.0)
+        done = i + 1
+        if done % every == 0 or done == spp:
+            jax.block_until_ready(acc)
+            wall = time.perf_counter() - t_start
+            img = np.asarray(acc).reshape(res, res, 3)
+            film.write_png(os.path.join(out_dir, "flagship_hair_ball.png"),
+                           img)
+            ckpt_mod.save_checkpoint(
+                os.path.join(out_dir, "flagship_ckpt.npz"),
+                ckpt_mod.RenderState(
+                    accum=jnp.asarray(img),
+                    sample_count=jnp.int32(done),
+                    key_data=jax.random.key_data(key)))
+            rays = r * done * cfg.depth
+            stats.update(samples_done=done,
+                         render_wall_s=round(wall, 1),
+                         rays_per_s=round(rays / wall, 1))
+            with open(os.path.join(out_dir, "FLAGSHIP.json"), "w") as f:
+                json.dump(stats, f, indent=1)
+            print(f"# spp {done}/{spp}  {wall:.0f}s  "
+                  f"{rays/wall/1e6:.2f}M rays/s", flush=True)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,8 +73,11 @@ def test_whitted_adaptive_refines_edges():
     always = np.asarray(whitted.render_whitted(
         scene, camera, base._replace(adaptive=True, adaptive_threshold=0.0,
                                      adaptive_depth=1)))
+    # depth 1 (not the depth-2 default): each extra level is 5*4^d more
+    # compiled midpoint wavefronts — depth 1 already exercises the
+    # refine/compact/recurse machinery and keeps this test ~4x cheaper
     default = np.asarray(whitted.render_whitted(
-        scene, camera, base._replace(adaptive=True)))
+        scene, camera, base._replace(adaptive=True, adaptive_depth=1)))
     assert np.all(np.isfinite(always)) and np.all(np.isfinite(default))
     # refinement changes at least the silhouette/contrast pixels...
     assert np.any(np.abs(always - never) > 1e-4)
