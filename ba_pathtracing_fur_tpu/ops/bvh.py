@@ -5,13 +5,18 @@ TPU-native replacement for the reference's pointer-based binned-SAH BVH
 the GPU pair bvh_constructSAH/bvh_traverse.compute (SURVEY §2.3 #53-54),
 which the survey calls the better model than the CPU recursion. Design:
 
-  * BUILD (jit-able, runs on device — required for 1M-fiber scenes per
-    SURVEY §7 "hard parts" (d)): 30-bit morton codes over primitive
-    centroids → argsort → primitives clustered into fixed-size leaves in
-    morton order → an *implicit complete binary tree* over the leaf
-    clusters with heap indexing (children of i are 2i+1/2i+2), AABBs
-    reduced level-by-level with static-shape reshapes. No pointers, no
-    recursion, no host round-trip.
+  * BUILD: every builder targets the same *implicit complete binary tree*
+    over fixed-size leaf clusters with heap indexing (children of i are
+    2i+1/2i+2), AABBs reduced level-by-level with static-shape reshapes —
+    no pointers, no recursion. The at-scale path (1M-fiber scenes) is the
+    HYBRID build: centroid-median split in native C++ (nth_element,
+    native/bvh_builder.cpp) + AABB-heap/reorder/pack as one jit on device
+    (traverse._attach_one_device) — measured the only combination whose
+    cluster quality (sah_cost ~194 at 100k tris) AND build time scale.
+    The fully on-device morton `build` here is jit-able for dynamic
+    geometry but clusters ~6x worse (sah_cost 915, out/AB_INTERSECT.json)
+    and its eager-build time does NOT scale — it is the small-scene /
+    in-jit option, not the flagship path.
 
   * TRAVERSAL: all rays advance in lock-step through a `lax.while_loop`;
     each ray keeps a current node + a fixed-depth stack ([R, MAX_DEPTH]

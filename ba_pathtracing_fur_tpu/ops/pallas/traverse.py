@@ -1,0 +1,263 @@
+"""Pallas TPU kernel: culled-cluster BVH traversal with VMEM-resident scene.
+
+The XLA traversal (ops/bvh.py `traverse`) is HBM-bound: every lock-step
+round gathers [R, W*K] leaf geometry from HBM (~15-38 MB/round). For scenes
+whose PACKED leaf geometry fits in VMEM (~8 MB: 100k-triangle or
+50k-cone class — the BASELINE config-3/4 workloads), this kernel keeps the
+entire scene + the per-tile entry grid on chip and traverses with ZERO HBM
+traffic after the initial tile load:
+
+  * grid = ray tiles of T rays; each program loads o/d [T,3] and has the
+    whole cluster-box table [6, C] and packed geometry [W, C*K] resident
+    (broadcast to every program — loaded into VMEM once per program).
+  * phase 1: dense slab entry grid tn [T, C] (VPU broadcast math).
+  * rounds (lax.while_loop): the tile takes the SHARED nearest useful
+    cluster j = argmin over per-cluster min of the t_best-masked entry
+    grid (the packet/broadcast schedule — on-chip, the [T, C] masking
+    passes that sank the XLA prototype cost ~µs here), dynamic-slices its
+    [W, K] geometry block from VMEM, intersects all T rays against it, and
+    masks column j. Terminates when no ray's remaining entry beats its
+    best hit (identical pruning rule to the XLA path ⇒ identical results;
+    only the visit schedule differs, and mins are order-invariant).
+
+Same Hit contract as ops/bvh.traverse: (t_best, row_best, found). The
+any-hit variant zeroes a ray's t_best on first acceptance so it stops
+participating (shadow semantics).
+
+Kernels run with interpret=True off-TPU so tests validate them anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 3.4e38
+TRI_EPS = 1.1920929e-7
+
+RAY_TILE = 512
+#: Max bytes of packed leaf geometry the kernel will hold in VMEM.
+VMEM_PACKED_BUDGET = 8 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pack_boxes_cm(bvh) -> jnp.ndarray:
+    """[6, C] component-major leaf-cluster boxes (bmin xyz, bmax xyz)."""
+    leaf_base = bvh.n_leaves - 1
+    bmin = bvh.bmin[leaf_base:leaf_base + bvh.n_leaves]
+    bmax = bvh.bmax[leaf_base:leaf_base + bvh.n_leaves]
+    return jnp.concatenate([bmin.T, bmax.T], axis=0).astype(jnp.float32)
+
+
+def pack_leaf_cm(bvh) -> jnp.ndarray:
+    """[W, C*K] component-major packed geometry from bvh.packed [C, W, K]."""
+    packed = jnp.asarray(bvh.packed)
+    c, w, k = packed.shape
+    return jnp.transpose(packed, (1, 0, 2)).reshape(w, c * k)
+
+
+def _tri_block(o, d, blk, t_min):
+    """[T, K] candidate ts for one [9, K] triangle block (Möller-Trumbore,
+    same math as ops.bvh._tri_core)."""
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    v0x, v0y, v0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]
+    e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
+    e2x, e2y, e2z = blk[6:7, :], blk[7:8, :], blk[8:9, :]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    near_zero = jnp.abs(det) < TRI_EPS
+    inv_det = 1.0 / jnp.where(near_zero, 1.0, det)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = ((~near_zero) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > t_min))
+    return jnp.where(ok, t, _INF)
+
+
+def _cone_block(o, d, blk, t_min):
+    """[T, K] candidate ts for one [16, K] cone block (KIRK quadratic,
+    same math as ops.bvh._cone_core)."""
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    ddx, ddy, ddz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    bx, by, bz = blk[0:1, :], blk[1:2, :], blk[2:3, :]
+    ux, uy, uz = blk[3:4, :], blk[4:5, :], blk[5:6, :]
+    vx, vy, vz = blk[6:7, :], blk[7:8, :], blk[8:9, :]
+    wx, wy, wz = blk[9:10, :], blk[10:11, :], blk[11:12, :]
+    slope, r_base = blk[12:13, :], blk[13:14, :]
+    min_d, max_d = blk[14:15, :], blk[15:16, :]
+
+    rx, ry, rz = ox - bx, oy - by, oz - bz
+    px = rx * ux + ry * uy + rz * uz
+    py = rx * vx + ry * vy + rz * vz
+    pz = rx * wx + ry * wy + rz * wz
+    dx = ddx * ux + ddy * uy + ddz * uz
+    dy = ddx * vx + ddy * vy + ddz * vz
+    dz = ddx * wx + ddy * wy + ddz * wz
+
+    a = dx * dx + dz * dz - slope * slope * dy * dy
+    b = px * dx + pz * dz + r_base * slope * dy - slope * slope * py * dy
+    c_lin = r_base - slope * py
+    c = px * px + pz * pz - c_lin * c_lin
+    disc = b * b - a * c
+    has_roots = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+    a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    t1 = (-b - sq) / a_safe
+    t2 = (-b + sq) / a_safe
+    t1, t2 = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+    ov = ox * vx + oy * vy + oz * vz
+
+    def axis_ok(t):
+        dax = ov + t * dy
+        return (dax >= min_d) & (dax <= max_d)
+
+    t1_ok = (t1 >= 1e-4) & (t1 > t_min) & axis_ok(t1)
+    t2_ok = (t2 >= 1e-4) & (t2 > t_min) & axis_ok(t2)
+    take1 = has_roots & t1_ok
+    take2 = has_roots & (~t1_ok) & t2_ok
+    return jnp.where(take1, t1, jnp.where(take2, t2, _INF))
+
+
+def _make_kernel(block_fn, width, n_clusters, leaf_k, t_min, any_hit):
+    t_cols = n_clusters  # entry-grid width
+
+    def kernel(o_ref, d_ref, boxes_ref, prim_ref, tmax_ref, t_ref, idx_ref):
+        o = o_ref[:]
+        d = d_ref[:]
+        t_rows = o.shape[0]
+        eps = 1e-20
+        inv = 1.0 / jnp.where(jnp.abs(d) < eps,
+                              jnp.where(d < 0, -eps, eps), d)
+        t_best0 = tmax_ref[:]  # [T, 1]
+
+        # phase 1: dense entry grid [T, C]
+        tnear = jnp.full((t_rows, t_cols), -_INF, jnp.float32)
+        tfar = jnp.full((t_rows, t_cols), _INF, jnp.float32)
+        for a in range(3):
+            t0 = (boxes_ref[a:a + 1, :] - o[:, a:a + 1]) * inv[:, a:a + 1]
+            t1 = (boxes_ref[a + 3:a + 4, :] - o[:, a:a + 1]) * inv[:, a:a + 1]
+            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+        hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear < t_best0)
+        tn = jnp.where(hit, tnear, _INF)
+
+        def useful_min(tn, t_best):
+            # per-cluster min over rays of entries that can still improve
+            return jnp.min(jnp.where(tn < t_best, tn, _INF), axis=0)  # [C]
+
+        def cond(carry):
+            rnd, tn, t_best, best, m = carry
+            return (rnd < t_cols) & (jnp.min(m) < _INF)
+
+        def body(carry):
+            rnd, tn, t_best, best, m = carry
+            j = jnp.argmin(m).astype(jnp.int32)  # shared nearest cluster
+            blk = prim_ref[:, pl.ds(j * leaf_k, leaf_k)]  # [W, K] from VMEM
+            ej = jax.lax.dynamic_slice(tn, (0, j), (t_rows, 1))  # [T,1]
+            want = ej < t_best
+            t_cand = block_fn(o, d, blk, t_min)  # [T, K]
+            t_cand = jnp.where(want, t_cand, _INF)
+            col = jnp.argmin(t_cand, axis=1).astype(jnp.int32)
+            rb = jnp.min(t_cand, axis=1)[:, None]  # [T,1]
+            better = rb < t_best
+            if any_hit:
+                # first accepted hit ends the ray: nothing can beat 0
+                t_best = jnp.where(better, 0.0, t_best)
+            else:
+                t_best = jnp.where(better, rb, t_best)
+            best = jnp.where(better, j * leaf_k + col[:, None], best)
+            tn = jax.lax.dynamic_update_slice(
+                tn, jnp.full((t_rows, 1), _INF, jnp.float32), (0, j))
+            m = useful_min(tn, t_best)
+            return rnd + 1, tn, t_best, best, m
+
+        init = (jnp.int32(0), tn, t_best0,
+                jnp.full((t_rows, 1), -1, jnp.int32),
+                useful_min(tn, t_best0))
+        _, _, t_best, best, _ = jax.lax.while_loop(cond, body, init)
+        t_ref[:] = t_best
+        idx_ref[:] = best
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "n_clusters", "leaf_k", "t_min", "any_hit",
+                     "ray_tile"))
+def traverse_vmem(o, d, boxes_cm, prim_cm, t_max, *, kind: str,
+                  n_clusters: int, leaf_k: int, t_min: float = 1e-4,
+                  any_hit: bool = False, ray_tile: int = RAY_TILE):
+    """VMEM-resident culled-cluster traversal.
+
+    o/d [R,3]; boxes_cm [6,C]; prim_cm [W, C*K]; t_max [R] per-ray cap.
+    Returns (t [R] — t_max where miss (0.0 for accepted any-hit rays),
+    row [R] int32 into the reordered pack (-1 miss), found [R] bool).
+    """
+    block_fn = {"tri": _tri_block, "cone": _cone_block}[kind]
+    width = prim_cm.shape[0]
+    r = o.shape[0]
+    pad = (-r) % ray_tile
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    t_p = jnp.pad(jnp.asarray(t_max, jnp.float32), (0, pad))[:, None]
+    r_pad = r + pad
+    kernel = _make_kernel(block_fn, width, n_clusters, leaf_k, t_min,
+                          any_hit)
+
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(r_pad // ray_tile,),
+        in_specs=[
+            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, n_clusters), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, n_clusters * leaf_k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(o_p, d_p, boxes_cm, prim_cm, t_p)
+    found = idx[:r, 0] >= 0
+    return t[:r, 0], idx[:r, 0], found
+
+
+def vmem_eligible(bvh) -> bool:
+    """True when the packed geometry fits the kernel's VMEM budget and the
+    BVH is flat-shaped (the kernel consumes leaf clusters directly; the
+    heap's upper levels are unused)."""
+    if bvh is None or bvh.packed is None:
+        return False
+    c, w, k = bvh.packed.shape
+    bytes_needed = c * w * k * 4 + 6 * c * 4
+    return bytes_needed <= VMEM_PACKED_BUDGET

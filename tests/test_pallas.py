@@ -77,3 +77,69 @@ def test_pallas_dispatch_render_matches_bruteforce():
     finally:
         traverse.enable_pallas_bruteforce(None)  # restore auto policy
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident traversal kernel (ops/pallas/traverse.py)
+# ---------------------------------------------------------------------------
+
+def test_vmem_traversal_matches_xla_traversal():
+    """The Pallas culled-cluster kernel must agree with ops.bvh.traverse:
+    identical found mask and winner rows; t within FMA ulps (the dispatch
+    recomputes the winner's t via *_leaf_rows, erasing the difference)."""
+    import jax
+    from ba_pathtracing_fur_tpu.ops import bvh as bvh_mod, traverse
+    from ba_pathtracing_fur_tpu.ops.pallas import traverse as ptrav
+    from ba_pathtracing_fur_tpu.scene.builtins import tri_terrain
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+
+    sc, cam = tri_terrain(resolution=(16, 16), n_tris=5000)
+    sc = to_device(traverse.attach_bvh(sc, method="sah", min_prims=1))
+    b = sc.tri_bvh
+    o, d = _rays(512, 3)
+    tmax = jnp.full((512,), isect.INF)
+    t0, r0, f0 = bvh_mod.traverse(b, o, d, bvh_mod.tri_leaf_packed(b),
+                                  1e-4, tmax, chunk=4096)
+    t1, r1, f1 = ptrav.traverse_vmem(
+        o, d, ptrav.pack_boxes_cm(b), ptrav.pack_leaf_cm(b), tmax,
+        kind="tri", n_clusters=b.n_leaves, leaf_k=b.leaf_size, ray_tile=256)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    m = np.asarray(f0)
+    np.testing.assert_array_equal(np.asarray(r0)[m], np.asarray(r1)[m])
+    assert np.allclose(np.asarray(t0)[m], np.asarray(t1)[m], rtol=1e-5)
+
+    # any-hit variant: identical blocked sets
+    tm = jnp.full((512,), 3.0)
+    _, _, a0 = bvh_mod.traverse(b, o, d, bvh_mod.tri_leaf_packed(b), 1e-4,
+                                tm, any_hit=True, chunk=4096)
+    _, _, a1 = ptrav.traverse_vmem(
+        o, d, ptrav.pack_boxes_cm(b), ptrav.pack_leaf_cm(b), tm,
+        kind="tri", n_clusters=b.n_leaves, leaf_k=b.leaf_size,
+        any_hit=True, ray_tile=256)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_vmem_traversal_render_dispatch():
+    """Forcing the VMEM kernel through the closest_hit/any_hit dispatch
+    renders the same image as the XLA traversal (tolerance: FMA ulps via
+    the identical-row + recomputed-t contract)."""
+    import jax
+    from ba_pathtracing_fur_tpu.models.pathtracer import (
+        RenderConfig, render_image)
+    from ba_pathtracing_fur_tpu.ops import traverse
+    from ba_pathtracing_fur_tpu.scene.builtins import fur_patch
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+
+    sc, cam = fur_patch(resolution=(24, 24), fibers_per_face=60)
+    sc = to_device(traverse.attach_bvh(sc, method="median", min_prims=1))
+    cfg = RenderConfig(depth=2, spp=1, ray_chunk=256, compact=False)
+    key = jax.random.key(0)
+    base = np.asarray(render_image(sc, cam, key, cfg))
+    traverse.enable_vmem_traversal(True)
+    try:
+        forced = np.asarray(render_image(sc, cam, key, cfg))
+    finally:
+        traverse.enable_vmem_traversal(None)
+    assert np.all(np.isfinite(forced))
+    assert np.allclose(base, forced, rtol=1e-4, atol=1e-5), \
+        float(np.abs(base - forced).max())
