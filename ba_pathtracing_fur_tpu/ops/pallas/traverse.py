@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 3.4e38
 TRI_EPS = 1.1920929e-7
 
-RAY_TILE = 512
+RAY_TILE = 256  # sweep winner: 4.08M rays/s vs 2.97M at 512 (isolated, 100k tris)
 #: Max bytes of packed leaf geometry the kernel will hold in VMEM.
 VMEM_PACKED_BUDGET = 8 * 1024 * 1024
 
@@ -57,11 +57,22 @@ def pack_boxes_cm(bvh) -> jnp.ndarray:
     return jnp.concatenate([bmin.T, bmax.T], axis=0).astype(jnp.float32)
 
 
-def pack_leaf_cm(bvh) -> jnp.ndarray:
-    """[W, C*K] component-major packed geometry from bvh.packed [C, W, K]."""
+def pack_leaf_cm(bvh, kind: str):
+    """([W, C*K_pad] component-major packed geometry, K_pad) from
+    bvh.packed [C, W, K]. K is padded to a multiple of 128 so the kernel's
+    dynamic block slice starts on a lane boundary (Mosaic requires
+    statically-provable 128 alignment in the lane dimension). Padding
+    columns are inert: zero triangles have det==0; padded cones get an
+    empty axis slab (min_d=1 > max_d=-1)."""
     packed = jnp.asarray(bvh.packed)
     c, w, k = packed.shape
-    return jnp.transpose(packed, (1, 0, 2)).reshape(w, c * k)
+    k_pad = -(-k // 128) * 128
+    if k_pad != k:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, k_pad - k)))
+        if kind == "cone":
+            packed = packed.at[:, 14, k:].set(1.0)   # min_d
+            packed = packed.at[:, 15, k:].set(-1.0)  # max_d
+    return jnp.transpose(packed, (1, 0, 2)).reshape(w, c * k_pad), k_pad
 
 
 def _tri_block(o, d, blk, t_min):
@@ -134,17 +145,33 @@ def _cone_block(o, d, blk, t_min):
     return jnp.where(take1, t1, jnp.where(take2, t2, _INF))
 
 
-def _make_kernel(block_fn, width, n_clusters, leaf_k, t_min, any_hit):
+def _make_kernel(block_fn, width, n_clusters, leaf_k, k_pad, t_min,
+                 any_hit):
     t_cols = n_clusters  # entry-grid width
+    BIGI = 2 ** 30  # python literal: kernels must not capture traced constants
 
     def kernel(o_ref, d_ref, boxes_ref, prim_ref, tmax_ref, t_ref, idx_ref):
+        t_best0 = tmax_ref[:]  # [T, 1]
+        # defaults first; whole-dead tiles (compacted wavefronts put dead
+        # rays, t_max=0, in the tail) skip phase 1 + the round loop
+        t_ref[:] = t_best0
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+        @pl.when(jnp.max(t_best0) > 0.0)
+        def _():
+            _traverse_tile(o_ref, d_ref, boxes_ref, prim_ref, t_best0,
+                           t_ref, idx_ref)
+
+    def _traverse_tile(o_ref, d_ref, boxes_ref, prim_ref, t_best0,
+                       t_ref, idx_ref):
         o = o_ref[:]
         d = d_ref[:]
         t_rows = o.shape[0]
         eps = 1e-20
         inv = 1.0 / jnp.where(jnp.abs(d) < eps,
                               jnp.where(d < 0, -eps, eps), d)
-        t_best0 = tmax_ref[:]  # [T, 1]
+        col_c = jax.lax.broadcasted_iota(jnp.int32, (1, t_cols), 1)
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
 
         # phase 1: dense entry grid [T, C]
         tnear = jnp.full((t_rows, t_cols), -_INF, jnp.float32)
@@ -157,9 +184,13 @@ def _make_kernel(block_fn, width, n_clusters, leaf_k, t_min, any_hit):
         hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear < t_best0)
         tn = jnp.where(hit, tnear, _INF)
 
+        # NOTE: no value-level dynamic_slice / argmin in the round body —
+        # Mosaic lacks those lowerings; everything is mask+reduce instead
+        # (all on-chip [T,C]/[T,K] passes, ~µs at these shapes).
         def useful_min(tn, t_best):
-            # per-cluster min over rays of entries that can still improve
-            return jnp.min(jnp.where(tn < t_best, tn, _INF), axis=0)  # [C]
+            # [1, C]: per-cluster min over rays of entries that can improve
+            return jnp.min(jnp.where(tn < t_best, tn, _INF), axis=0,
+                           keepdims=True)
 
         def cond(carry):
             rnd, tn, t_best, best, m = carry
@@ -167,23 +198,28 @@ def _make_kernel(block_fn, width, n_clusters, leaf_k, t_min, any_hit):
 
         def body(carry):
             rnd, tn, t_best, best, m = carry
-            j = jnp.argmin(m).astype(jnp.int32)  # shared nearest cluster
-            blk = prim_ref[:, pl.ds(j * leaf_k, leaf_k)]  # [W, K] from VMEM
-            ej = jax.lax.dynamic_slice(tn, (0, j), (t_rows, 1))  # [T,1]
+            # shared nearest useful cluster: lowest index at the min entry
+            v = jnp.min(m)
+            j = jnp.min(jnp.where(m == v, col_c, BIGI))  # scalar int32
+            onehot = col_c == j  # [1, C]
+            start = pl.multiple_of(j * k_pad, 128)
+            blk = prim_ref[:, pl.ds(start, k_pad)]  # [W, K_pad] from VMEM
+            ej = jnp.max(jnp.where(onehot, tn, -_INF), axis=1,
+                         keepdims=True)  # [T,1] = tn[:, j]
             want = ej < t_best
             t_cand = block_fn(o, d, blk, t_min)  # [T, K]
             t_cand = jnp.where(want, t_cand, _INF)
-            col = jnp.argmin(t_cand, axis=1).astype(jnp.int32)
-            rb = jnp.min(t_cand, axis=1)[:, None]  # [T,1]
+            rb = jnp.min(t_cand, axis=1, keepdims=True)  # [T,1]
+            col = jnp.min(jnp.where(t_cand == rb, col_k, BIGI), axis=1,
+                          keepdims=True)  # [T,1] argmin, lowest-index ties
             better = rb < t_best
             if any_hit:
                 # first accepted hit ends the ray: nothing can beat 0
                 t_best = jnp.where(better, 0.0, t_best)
             else:
                 t_best = jnp.where(better, rb, t_best)
-            best = jnp.where(better, j * leaf_k + col[:, None], best)
-            tn = jax.lax.dynamic_update_slice(
-                tn, jnp.full((t_rows, 1), _INF, jnp.float32), (0, j))
+            best = jnp.where(better, j * leaf_k + col, best)
+            tn = jnp.where(onehot, _INF, tn)  # mark visited
             m = useful_min(tn, t_best)
             return rnd + 1, tn, t_best, best, m
 
@@ -206,20 +242,23 @@ def traverse_vmem(o, d, boxes_cm, prim_cm, t_max, *, kind: str,
                   any_hit: bool = False, ray_tile: int = RAY_TILE):
     """VMEM-resident culled-cluster traversal.
 
-    o/d [R,3]; boxes_cm [6,C]; prim_cm [W, C*K]; t_max [R] per-ray cap.
-    Returns (t [R] — t_max where miss (0.0 for accepted any-hit rays),
-    row [R] int32 into the reordered pack (-1 miss), found [R] bool).
+    o/d [R,3]; boxes_cm [6,C]; prim_cm [W, C*K_pad] (pack_leaf_cm); t_max
+    [R] per-ray cap. leaf_k is the LOGICAL leaf size — returned rows index
+    the reordered pack as cluster*leaf_k + within, regardless of the
+    128-aligned physical padding. Returns (t [R] — t_max where miss (0.0
+    for accepted any-hit rays), row [R] int32 (-1 miss), found [R] bool).
     """
     block_fn = {"tri": _tri_block, "cone": _cone_block}[kind]
     width = prim_cm.shape[0]
+    k_pad = prim_cm.shape[1] // n_clusters
     r = o.shape[0]
     pad = (-r) % ray_tile
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
     d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     t_p = jnp.pad(jnp.asarray(t_max, jnp.float32), (0, pad))[:, None]
     r_pad = r + pad
-    kernel = _make_kernel(block_fn, width, n_clusters, leaf_k, t_min,
-                          any_hit)
+    kernel = _make_kernel(block_fn, width, n_clusters, leaf_k, k_pad,
+                          t_min, any_hit)
 
     t, idx = pl.pallas_call(
         kernel,
@@ -231,7 +270,7 @@ def traverse_vmem(o, d, boxes_cm, prim_cm, t_max, *, kind: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, n_clusters), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((width, n_clusters * leaf_k), lambda i: (0, 0),
+            pl.BlockSpec((width, n_clusters * k_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -253,11 +292,14 @@ def traverse_vmem(o, d, boxes_cm, prim_cm, t_max, *, kind: str,
 
 
 def vmem_eligible(bvh) -> bool:
-    """True when the packed geometry fits the kernel's VMEM budget and the
-    BVH is flat-shaped (the kernel consumes leaf clusters directly; the
-    heap's upper levels are unused)."""
+    """True when the packed geometry (with 128-aligned leaf padding) fits
+    the kernel's VMEM budget, the BVH is flat-consumable (leaf clusters
+    used directly), and the cluster count fills TPU lanes (>=128)."""
     if bvh is None or bvh.packed is None:
         return False
     c, w, k = bvh.packed.shape
-    bytes_needed = c * w * k * 4 + 6 * c * 4
+    if c < 128:
+        return False
+    k_pad = -(-k // 128) * 128
+    bytes_needed = c * w * k_pad * 4 + 6 * c * 4
     return bytes_needed <= VMEM_PACKED_BUDGET

@@ -265,8 +265,14 @@ def _octant_perms(d, t_max):
 
 
 # VMEM-resident Pallas traversal policy (ops/pallas/traverse.py): on TPU,
-# scenes whose packed leaf geometry fits the kernel's VMEM budget traverse
-# entirely on-chip. Tri-state override for A/B (None = auto).
+# CONE packs whose packed leaf geometry fits the kernel's VMEM budget
+# traverse entirely on-chip. Data-driven kind split (end-to-end A/B on the
+# bench chip, fur_patch/tri_100k renders): the kernel's shared broadcast
+# schedule wins +20% on fur (1.10M vs 0.92M rays/s — many small clusters,
+# expensive cone math amortized over the tile) but loses ~7% on triangles
+# (1.41M vs 1.51M — incoherent bounce tiles pay the union of clusters,
+# and the tri XLA path's big-leaf gathers are already near bandwidth).
+# Tri-state override for A/B (None = auto).
 _VMEM_TRAVERSAL: bool | None = None
 
 
@@ -275,10 +281,10 @@ def enable_vmem_traversal(on: bool | None = True) -> None:
     _VMEM_TRAVERSAL = on
 
 
-def _use_vmem_kernel(bvh) -> bool:
+def _use_vmem_kernel(bvh, kind: str = "cone") -> bool:
     if _VMEM_TRAVERSAL is not None:
         return _VMEM_TRAVERSAL and bvh is not None and bvh.packed is not None
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or kind != "cone":
         return False
     from .pallas import traverse as ptrav
     return ptrav.vmem_eligible(bvh)
@@ -293,7 +299,7 @@ def _kernel_traverse(bvh, o, d, t_max, kind: str, t_min=1e-4,
     from .pallas import traverse as ptrav
 
     boxes = ptrav.pack_boxes_cm(bvh)
-    prim = ptrav.pack_leaf_cm(bvh)
+    prim, _ = ptrav.pack_leaf_cm(bvh, kind)
     return ptrav.traverse_vmem(o, d, boxes, prim, t_max, kind=kind,
                                n_clusters=bvh.n_leaves,
                                leaf_k=bvh.leaf_size, t_min=t_min,
@@ -337,7 +343,7 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     tri_row = jnp.zeros((r,), jnp.int32)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
-        if _use_vmem_kernel(scene.tri_bvh):
+        if _use_vmem_kernel(scene.tri_bvh, "tri"):
             _, tri_row, found = _kernel_traverse(sbvh, o_s, d_s, t_s, "tri",
                                                  t_min)
         else:
@@ -358,7 +364,7 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     cone_row = jnp.zeros((r,), jnp.int32)
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
-        if _use_vmem_kernel(scene.cone_bvh):
+        if _use_vmem_kernel(scene.cone_bvh, "cone"):
             _, cone_row, found_c = _kernel_traverse(sbvh, o_s, d_s, t_s,
                                                     "cone", t_min)
         else:
@@ -456,7 +462,7 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
     blocked = jnp.zeros((r,), bool)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
-        if _use_vmem_kernel(scene.tri_bvh):
+        if _use_vmem_kernel(scene.tri_bvh, "tri"):
             _, _, f = _kernel_traverse(sbvh, o, d, t_max, "tri", t_min,
                                        any_hit=True)
         else:
@@ -471,7 +477,7 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
         blocked |= jnp.any(valid, axis=-1)
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
-        if _use_vmem_kernel(scene.cone_bvh):
+        if _use_vmem_kernel(scene.cone_bvh, "cone"):
             _, _, f = _kernel_traverse(sbvh, o, d, t_max, "cone", t_min,
                                        any_hit=True)
         else:

@@ -101,7 +101,7 @@ def test_vmem_traversal_matches_xla_traversal():
     t0, r0, f0 = bvh_mod.traverse(b, o, d, bvh_mod.tri_leaf_packed(b),
                                   1e-4, tmax, chunk=4096)
     t1, r1, f1 = ptrav.traverse_vmem(
-        o, d, ptrav.pack_boxes_cm(b), ptrav.pack_leaf_cm(b), tmax,
+        o, d, ptrav.pack_boxes_cm(b), ptrav.pack_leaf_cm(b, "tri")[0], tmax,
         kind="tri", n_clusters=b.n_leaves, leaf_k=b.leaf_size, ray_tile=256)
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     m = np.asarray(f0)
@@ -113,7 +113,7 @@ def test_vmem_traversal_matches_xla_traversal():
     _, _, a0 = bvh_mod.traverse(b, o, d, bvh_mod.tri_leaf_packed(b), 1e-4,
                                 tm, any_hit=True, chunk=4096)
     _, _, a1 = ptrav.traverse_vmem(
-        o, d, ptrav.pack_boxes_cm(b), ptrav.pack_leaf_cm(b), tm,
+        o, d, ptrav.pack_boxes_cm(b), ptrav.pack_leaf_cm(b, "tri")[0], tm,
         kind="tri", n_clusters=b.n_leaves, leaf_k=b.leaf_size,
         any_hit=True, ray_tile=256)
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
