@@ -173,7 +173,10 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
         _jax.block_until_ready(scene.cone_bvh.packed)
     build_s = time.perf_counter() - t0
     scene = to_device(scene)
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048, compact=True)
+    # chunk: 2048 for the fur patch (VMEM-kernel path), 1024 for the hair
+    # ball (XLA path; measured 0.444M vs 0.429M rays/s at 2048, round 3)
+    chunk = 1024 if name == "hair_ball" else 2048
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=chunk, compact=True)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
