@@ -304,17 +304,22 @@ def sample_surface(mp: MatParams, wi, n, u, flags,
     `present` (DeviceScene.bsdfs_present static): when non-empty, BSDFs
     whose id cannot occur in this scene are skipped entirely — same result,
     much smaller program (and grad graph). () evaluates all.
+
+    Ids with no matching surface BSDF (hair ids, or ids filtered out by
+    `present`) deterministically fall through to the _lambert sample —
+    NEVER to "whichever BSDF happens to be first in the filtered list",
+    which would make hair-vertex BDPT subpath weights vary with unrelated
+    scene material composition (ADVICE r3).
     """
     bsdfs = [(b, f) for b, f in _SURFACE_BSDFS
              if not present or b in present]
-    if not bsdfs:  # pure-hair table: any surface fn works as the zero base
-        bsdfs = [_SURFACE_BSDFS[0]]
-    out = None
+    # deterministic fall-through base: always _lambert (evaluate it even
+    # when `present` filtered it out — one cheap extra eval)
+    out = _lambert(mp, wi, n, u, flags)
     for bid, fn in bsdfs:
+        if bid == BSDF_LAMBERT:
+            continue  # already the base
         res = fn(mp, wi, n, u, flags)
-        if out is None:
-            out = res
-            continue
         is_b = mp.bsdf_id == bid
         out = BsdfSample(
             reflectance=jnp.where(is_b[:, None], res.reflectance, out.reflectance),

@@ -102,14 +102,22 @@ def _light_target_deterministic(lights, i, pos):
 
 
 def light_shading(scene: DeviceScene, pos, norm, uv, view, mp, diff_color,
-                  cfg: WhittedConfig, key=None, n_alive=None):
+                  cfg: WhittedConfig, key=None, n_alive=None, active=None):
     """SimpleCPURaytracer::lightShading (:80-180). Hard shadows by default;
     cfg.soft_shadows averages `shadow_samples` jittered visibility rays per
-    light (randomized calcLightdir + jitterBy semantics)."""
+    light (randomized calcLightdir + jitterBy semantics).
+
+    `active` [R] bool: lanes that actually shade. Dead lanes get t_max=0
+    shadow rays — required for correctness, not just speed: any_hit's
+    octant sort keys dead rays by t_max <= 0, and an all-ones t_max would
+    scatter live shadow rays past the n_alive chunk gate (silently
+    unblocked shadows on compacted wavefronts > ray_chunk)."""
     lights = scene.lights
     color = scene.env.ambient * diff_color  # ambient part (:88)
     norm_view = _norm_view_flip(norm, view)
     shininess = 1.0 / jnp.maximum(mp.roughness, 1e-3)
+    shadow_t = (jnp.ones(pos.shape[0]) if active is None
+                else jnp.where(active, 1.0, 0.0))
 
     for i in range(lights.count):
         target = _light_target_deterministic(lights, i, pos)
@@ -160,7 +168,7 @@ def light_shading(scene: DeviceScene, pos, norm, uv, view, mp, diff_color,
                     sdir = target + scale * sphere - origin
                     blocked = traverse.any_hit(
                         origin, sdir, jax.lax.stop_gradient(scene),
-                        jnp.ones(pos.shape[0]), chunk=cfg.ray_chunk,
+                        shadow_t, chunk=cfg.ray_chunk,
                         n_alive=n_alive)
                     vis = vis + jnp.where(blocked, 0.0, 1.0 / ns)
                 direct = direct * vis[:, None]
@@ -168,7 +176,7 @@ def light_shading(scene: DeviceScene, pos, norm, uv, view, mp, diff_color,
                 sdir = target - origin
                 blocked = traverse.any_hit(origin, sdir,
                                            jax.lax.stop_gradient(scene),
-                                           jnp.ones(pos.shape[0]),
+                                           shadow_t,
                                            chunk=cfg.ray_chunk,
                                            n_alive=n_alive)
                 direct = jnp.where(blocked[:, None], 0.0, direct)
@@ -206,9 +214,14 @@ def _hair_color(scene, hit, view_n, mp, cfg: WhittedConfig):
 
 
 def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
-                   cfg: WhittedConfig = WhittedConfig()) -> jnp.ndarray:
+                   cfg: WhittedConfig = WhittedConfig(),
+                   key=None) -> jnp.ndarray:
     """Deterministic Whitted render -> [H,W,3]. jit-able; wrap in jax.jit
-    with cfg static."""
+    with cfg static. `key` seeds the jittered soft-shadow visibility
+    samples (cfg.soft_shadows); defaults to a fixed seed so renders stay
+    reproducible."""
+    if key is None and cfg.soft_shadows:
+        key = jax.random.PRNGKey(0)
     from ..scene.types import ensure_device
     scene = ensure_device(scene)  # while_loop bodies can't index numpy leaves
     w, h = camera.resolution
@@ -242,7 +255,8 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
         for s in range(n_dof):
             image = image + _adaptive_image(
                 scene, px, py, camera, cfg, dof_u=lens_u(s),
-                lvl0=1 if use_dof else 0) / n_dof
+                lvl0=1 if use_dof else 0,
+                key=None if key is None else jax.random.fold_in(key, s)) / n_dof
         return image.reshape(h, w, 3)
 
     if n_ss == 1:
@@ -256,20 +270,23 @@ def render_whitted(scene: DeviceScene, camera: cam_mod.Camera,
         offsets = [((i + 0.5) / n_ss, (j + 0.5) / n_ss)
                    for j in range(n_ss) for i in range(n_ss)]
 
-    for ox, oy in offsets:
+    for si, (ox, oy) in enumerate(offsets):
         jit = jnp.broadcast_to(jnp.asarray([ox, oy], jnp.float32), (r, 2))
         for s in range(n_dof):
             o, d = cam_mod.rays_from_pixels(camera, px, py, jit, lens_u(s))
             # DoF consumes one recursion level (trace(level+1), :246)
+            k_sd = (None if key is None
+                    else jax.random.fold_in(key, si * n_dof + s))
             image = image + _trace_queue(scene, o, d, cfg,
-                                         lvl0=1 if use_dof else 0) \
+                                         lvl0=1 if use_dof else 0,
+                                         key=k_sd) \
                 / (len(offsets) * n_dof)
 
     return image.reshape(h, w, 3)
 
 
 def _adaptive_image(scene, px, py, camera, cfg: WhittedConfig, dof_u=None,
-                    lvl0: int = 0) -> jnp.ndarray:
+                    lvl0: int = 0, key=None) -> jnp.ndarray:
     """Adaptive supersampling (adaptiveSampling,
     Simple_CPU_Raytracer.cpp:275-294): trace the pixel's four inset corners
     (step 1/20 from the edges), then quadtree-refine squares whose corner
@@ -290,14 +307,14 @@ def _adaptive_image(scene, px, py, camera, cfg: WhittedConfig, dof_u=None,
     _, d2 = ray(1.0 - step, 1.0 - step)
     _, d3 = ray(step, step)
     _, d4 = ray(1.0 - step, step)
-    tr = lambda dd: _trace_queue(scene, o, dd, cfg, lvl0=lvl0)
+    tr = lambda dd: _trace_queue(scene, o, dd, cfg, lvl0=lvl0, key=key)
     c1, c2, c3, c4 = tr(d1), tr(d2), tr(d3), tr(d4)
     return _adaptive_square(scene, o, (d1, d2, d3, d4), (c1, c2, c3, c4),
-                            cfg, 0, lvl0=lvl0)
+                            cfg, 0, lvl0=lvl0, key=key)
 
 
 def _adaptive_square(scene, o, dirs, colors, cfg: WhittedConfig, depth: int,
-                     lvl0: int = 0, active=None):
+                     lvl0: int = 0, active=None, key=None):
     """adaptiveSamplingRecursive (Simple_CPU_Raytracer.cpp:296-341): if any
     pairwise corner-color distance exceeds the threshold, trace the five
     edge/center midpoints and recurse into the four subsquares; pixels below
@@ -334,23 +351,25 @@ def _adaptive_square(scene, o, dirs, colors, cfg: WhittedConfig, depth: int,
     o_c = o[perm]
     act_c = refine[perm]
 
+    kd = None if key is None else jax.random.fold_in(key, depth)
+
     def tr(dd):
         c = _trace_queue(scene, o_c, dd[perm], cfg, lvl0=lvl0,
-                         active=act_c, n_alive=n_alive)
+                         active=act_c, n_alive=n_alive, key=kd)
         return c[inv]
 
     cn1, cn2, cn3, cn4, cn5 = tr(n1), tr(n2), tr(n3), tr(n4), tr(n5)
 
-    r1 = _adaptive_square(scene, o, (d1, n1, n2, n3), (c1, cn1, cn2, cn3), cfg, depth + 1, lvl0, refine)
-    r2 = _adaptive_square(scene, o, (n1, d2, n3, n4), (cn1, c2, cn3, cn4), cfg, depth + 1, lvl0, refine)
-    r3 = _adaptive_square(scene, o, (n2, n3, d3, n5), (cn2, cn3, c3, cn5), cfg, depth + 1, lvl0, refine)
-    r4 = _adaptive_square(scene, o, (n3, n4, n5, d4), (cn3, cn4, cn5, c4), cfg, depth + 1, lvl0, refine)
+    r1 = _adaptive_square(scene, o, (d1, n1, n2, n3), (c1, cn1, cn2, cn3), cfg, depth + 1, lvl0, refine, key)
+    r2 = _adaptive_square(scene, o, (n1, d2, n3, n4), (cn1, c2, cn3, cn4), cfg, depth + 1, lvl0, refine, key)
+    r3 = _adaptive_square(scene, o, (n2, n3, d3, n5), (cn2, cn3, c3, cn5), cfg, depth + 1, lvl0, refine, key)
+    r4 = _adaptive_square(scene, o, (n3, n4, n5, d4), (cn3, cn4, cn5, c4), cfg, depth + 1, lvl0, refine, key)
     refined = (r1 + r2 + r3 + r4) / 4.0
     return jnp.where(refine[:, None], refined, flat)
 
 
 def _trace_queue(scene, o, d, cfg: WhittedConfig, lvl0: int = 0,
-                 active=None, n_alive=None):
+                 active=None, n_alive=None, key=None):
     """Lock-step per-ray DFS over the weighted recursion tree.
 
     Node payload = (o, d, color-weight W [R,3], scalar trace-weight w [R],
@@ -390,9 +409,10 @@ def _trace_queue(scene, o, d, cfg: WhittedConfig, lvl0: int = 0,
 
     def body(carry):
         it, color, cur, live, stack, sp = carry
+        kk = None if key is None else jax.random.fold_in(key, it)
         c, t_child, r_child, spawn_t, spawn_r = _trace_shade(
             scene, cur["o"], cur["d"], cur["W"], cur["w"], cur["lvl"],
-            live, cfg, n_alive=n_alive)
+            live, cfg, n_alive=n_alive, key=kk)
         color = color + c
 
         # push the reflection child when BOTH children spawned
@@ -438,7 +458,7 @@ def _bc(mask, like):
 
 
 def _trace_shade(scene, o, d, W, w, level, live, cfg: WhittedConfig,
-                 n_alive=None):
+                 n_alive=None, key=None):
     """One wavefront node: trace + shade. `level` is per-ray [R] int32.
     Returns (color contribution [R,3], refraction child, reflection child,
     spawn_t [R], spawn_r [R]); children are node dicts with zeroed payloads
@@ -461,7 +481,8 @@ def _trace_shade(scene, o, d, W, w, level, live, cfg: WhittedConfig,
 
     # --- surface shade (:356-449)
     base = light_shading(scene, hit.position, hit.normal, hit.uv, view, mp,
-                         mp.diffuse, cfg, n_alive=n_alive)
+                         mp.diffuse, cfg, key=key, n_alive=n_alive,
+                         active=is_surf)
     norm = hit.normal
     norm_view = _norm_view_flip(norm, view)
 

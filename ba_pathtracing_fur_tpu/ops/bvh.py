@@ -123,6 +123,12 @@ class BVH:
     # BVHs (parallel.render.shard_scene_bvh) — sharded over the "geo" mesh
     # axis and squeezed inside the shard before traversal.
     geo_stacked: bool = struct.field(pytree_node=False, default=False)
+    # Pallas-kernel layouts, precomputed ONCE at attach_bvh time (ADVICE r3:
+    # re-transposing the full packed geometry per traversal call duplicated
+    # work across jits). boxes_cm [6, C]; prim_cm [W, C*K_pad] with K padded
+    # to a lane-aligned multiple of 128 (see ops/pallas/traverse.py).
+    boxes_cm: jnp.ndarray | None = None
+    prim_cm: jnp.ndarray | None = None
 
     @property
     def depth(self) -> int:

@@ -53,6 +53,10 @@ def _prev_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n.bit_length() - 1)
 
 
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
 def auto_leaf_size(n_prims: int, target: int = 256) -> int:
     """Pick a leaf size near `target` that fills the power-of-two leaf count
     tightly (occupancy >= ~75% instead of the worst-case 50% a fixed leaf
@@ -66,10 +70,6 @@ def auto_leaf_size(n_prims: int, target: int = 256) -> int:
     n_leaves = max(_next_pow2(-(-n_prims // target)), 1)
     k = -(-n_prims // n_leaves)
     return max(-(-k // 8) * 8, 8)
-
-
-def _next_pow2(n: int) -> int:
-    return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
 #: auto_leaf_size targets per primitive kind, from the round-3 TPU sweeps:
@@ -223,6 +223,8 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
             cone_bvh = cone_bvh.replace(fanout=f)
             cones = bvh_mod.reorder_cones(cones, cone_bvh)
             cone_bvh = bvh_mod.pack_cones(cones, cone_bvh)
+    tri_bvh = _cache_kernel_layouts(tri_bvh, "tri")
+    cone_bvh = _cache_kernel_layouts(cone_bvh, "cone")
     return scene.replace(tris=tris, cones=cones, tri_bvh=tri_bvh,
                          cone_bvh=cone_bvh)
 
@@ -290,6 +292,19 @@ def _use_vmem_kernel(bvh, kind: str = "cone") -> bool:
     return ptrav.vmem_eligible(bvh)
 
 
+def _cache_kernel_layouts(bvh, kind: str):
+    """Precompute the Pallas component-major layouts (boxes_cm/prim_cm) on
+    the BVH struct when the VMEM kernel can consume them — ONCE at attach
+    time instead of per traversal call (ADVICE r3: the per-call transpose
+    re-churned the full packed geometry every closest/any_hit per bounce)."""
+    from .pallas import traverse as ptrav
+    if bvh is None or bvh.packed is None or not ptrav.vmem_eligible(bvh):
+        return bvh
+    boxes = ptrav.pack_boxes_cm(bvh)
+    prim, _ = ptrav.pack_leaf_cm(bvh, kind)
+    return bvh.replace(boxes_cm=boxes, prim_cm=prim)
+
+
 def _kernel_traverse(bvh, o, d, t_max, kind: str, t_min=1e-4,
                      any_hit: bool = False):
     """traverse_vmem wrapper returning the (t, row, found) contract of
@@ -298,8 +313,11 @@ def _kernel_traverse(bvh, o, d, t_max, kind: str, t_min=1e-4,
     the callers erase by recomputing the winner's t via *_leaf_rows."""
     from .pallas import traverse as ptrav
 
-    boxes = ptrav.pack_boxes_cm(bvh)
-    prim, _ = ptrav.pack_leaf_cm(bvh, kind)
+    if bvh.boxes_cm is not None and bvh.prim_cm is not None:
+        boxes, prim = bvh.boxes_cm, bvh.prim_cm
+    else:  # forced-on A/B path without cached layouts
+        boxes = ptrav.pack_boxes_cm(bvh)
+        prim, _ = ptrav.pack_leaf_cm(bvh, kind)
     return ptrav.traverse_vmem(o, d, boxes, prim, t_max, kind=kind,
                                n_clusters=bvh.n_leaves,
                                leaf_k=bvh.leaf_size, t_min=t_min,

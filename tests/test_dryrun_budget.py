@@ -13,8 +13,14 @@ import os
 import subprocess
 import sys
 import time
+import warnings
 
-BUDGET_S = 150.0  # ~4x the measured 39 s on a 2-vCPU box
+#: Wall budget, calibrated to the 2-vCPU bench host (~4x the measured 39 s).
+#: Machine-dependent by nature (ADVICE r3): override with DRYRUN_BUDGET_S on
+#: slower/contended runners, or set DRYRUN_BUDGET_ENFORCE=0 to downgrade the
+#: over-budget assertion to a warning (the rc-0/OK assertions stay hard).
+BUDGET_S = float(os.environ.get("DRYRUN_BUDGET_S", "150"))
+ENFORCE = os.environ.get("DRYRUN_BUDGET_ENFORCE", "1") not in ("0", "false")
 
 
 def test_dryrun_multichip_wall_budget():
@@ -32,7 +38,12 @@ def test_dryrun_multichip_wall_budget():
     wall = time.time() - t0
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
-    assert wall < BUDGET_S, (
+    msg = (
         f"dryrun_multichip(8) took {wall:.0f}s (budget {BUDGET_S:.0f}s) — "
         f"the multichip gate will be killed by the driver; find what grew "
-        f"the traced graph (see RenderConfig.remat docstring)")
+        f"the traced graph (see RenderConfig.remat docstring), or raise "
+        f"DRYRUN_BUDGET_S if this host is simply slower than the bench box")
+    if ENFORCE:
+        assert wall < BUDGET_S, msg
+    elif wall >= BUDGET_S:
+        warnings.warn(msg)

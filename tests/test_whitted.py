@@ -147,3 +147,57 @@ def test_whitted_dof():
                      + np.abs(np.diff(a, axis=1)).sum())
     assert grad_energy(blurred) < grad_energy(sharp)
     assert np.abs(blurred - sharp).max() > 1e-4
+
+
+def test_light_shading_gated_compacted_wavefront_shadows():
+    """ADVICE r3 (high): light_shading used t_max=1 for ALL lanes, so
+    any_hit's octant sort (keyed dead-last by t_max <= 0) scattered live
+    shadow rays past the n_alive chunk gate on compacted wavefronts larger
+    than ray_chunk — silently unblocked shadows. Live lanes here sit above
+    the cornell ceiling aiming down at the light (octant 7 — sorts LAST),
+    dead lanes aim octant 0 (sorts first): with the bug, every live shadow
+    ray lands in a gated-off chunk and reports unshadowed."""
+    from ba_pathtracing_fur_tpu.models import bsdf as bsdf_mod
+    from ba_pathtracing_fur_tpu.ops import traverse
+
+    scene, _ = cornell_box(resolution=(8, 8))
+    acc = traverse.attach_bvh(scene, min_prims=1)
+    R, chunk, n_live = 2048, 256, 512
+    light = np.array([0.0, 0.98, 0.0], np.float32)
+
+    pos = np.tile(light + np.array([-1.5, -1.48, -1.5], np.float32), (R, 1))
+    pos[:n_live] = light + np.array([0.3, 1.0, 0.3], np.float32)  # above roof
+    norm = light[None] - pos
+    norm /= np.linalg.norm(norm, axis=-1, keepdims=True)
+    view = -norm
+    pos_j, norm_j, view_j = map(jnp.asarray, (pos, norm, view))
+    uv = jnp.zeros((R, 2), jnp.float32)
+    mp = bsdf_mod.gather_materials(acc.materials,
+                                   jnp.zeros((R,), jnp.int32), uv,
+                                   acc.textures, acc.tex_slots)
+    cfg = whitted.WhittedConfig(shadows=True, ray_chunk=chunk)
+    live = jnp.arange(R) < n_live
+
+    got = np.asarray(whitted.light_shading(
+        acc, pos_j, norm_j, uv, view_j, mp, mp.diffuse, cfg,
+        n_alive=jnp.int32(n_live), active=live))
+    # ungated small-wavefront reference on the live lanes only
+    sl = slice(0, n_live)
+    ref = np.asarray(whitted.light_shading(
+        acc, pos_j[sl], norm_j[sl], uv[sl], view_j[sl],
+        jax.tree.map(lambda x: x[sl] if hasattr(x, "shape") and x.ndim
+                     else x, mp), mp.diffuse[sl], cfg))
+    np.testing.assert_allclose(got[:n_live], ref, rtol=1e-5, atol=1e-6)
+    # the ceiling occludes every live lane: shadowed color is ambient-only 0
+    assert np.abs(got[:n_live]).max() < 1e-6
+
+    # control: the same gated call with unoccluded live lanes lights up
+    pos2 = pos.copy()
+    pos2[:n_live] = light + np.array([0.05, -0.3, 0.05], np.float32)
+    norm2 = light[None] - pos2
+    norm2 /= np.linalg.norm(norm2, axis=-1, keepdims=True)
+    lit = np.asarray(whitted.light_shading(
+        acc, jnp.asarray(pos2), jnp.asarray(norm2), uv,
+        jnp.asarray(-norm2), mp, mp.diffuse, cfg,
+        n_alive=jnp.int32(n_live), active=live))
+    assert lit[:n_live].max() > 1e-3
