@@ -58,20 +58,38 @@ def _peak_flops(device) -> float:
     return 1.0e14
 
 
-def _measure(fn, args, rays: int, peak: float):
+#: Analytic FLOPs per primitive intersection test (hand count of the
+#: straight-line kernel math: Möller-Trumbore _tri_core ~55 mul/add/div,
+#: cone quadratic _cone_core ~90 incl. frame projection + slab) — used for
+#: the brute-force configs, whose FLOP count IS rays x prims x test (every
+#: ray tests every primitive each bounce, plus O(100)/ray shading noise).
+FLOPS_TRI_TEST = 55.0
+FLOPS_CONE_TEST = 90.0
+
+
+def _measure(fn, args, rays: int, peak: float, analytic_flops=None):
     """Compile, warm, time; returns dict(rays_per_s, mfu, wall_s, flops).
 
     Times a host->host materialized call (np.asarray of the first output
     leaf): on tunneled TPU runtimes, block_until_ready on an AOT-executed
     result was observed returning immediately at GB-scale args (BENCH r3:
     a 37 s hair-ball render "measured" as 0.0 s) — a device->host copy of
-    the result cannot lie."""
+    the result cannot lie.
+
+    MFU source, in order (VERDICT r3 missing #5 — no fabricated zeros):
+    XLA cost_analysis when it reports FLOPs on this plugin; else the
+    caller's analytic count (exact for brute-force configs); else None
+    (serialized as null — BVH traversal FLOPs are schedule-dependent and
+    cannot be claimed statically)."""
     import jax
     import numpy as np
 
     jfn = jax.jit(fn)
     cost = jfn.lower(*args).compile().cost_analysis() or {}
     flops = float(cost.get("flops", 0.0))
+    flops_src = "xla_cost_analysis"
+    if not flops and analytic_flops:
+        flops, flops_src = float(analytic_flops), "analytic"
 
     def run():
         out = jfn(*args)
@@ -84,7 +102,8 @@ def _measure(fn, args, rays: int, peak: float):
     wall = time.perf_counter() - t0
     return {
         "rays_per_s": rays / wall,
-        "mfu": (flops / wall / peak) if flops else 0.0,
+        "mfu": (flops / wall / peak) if flops else None,
+        "mfu_source": flops_src if flops else None,
         "wall_s": wall,
         "flops": flops,
     }
@@ -118,7 +137,8 @@ def bench_cornell(smoke, peak, variant="diffuse"):
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
-                 rays, peak)
+                 rays, peak,
+                 analytic_flops=rays * scene.tris.count * FLOPS_TRI_TEST)
     m.update(res=list(res), spp=spp, depth=depth)
     return m
 
@@ -137,7 +157,9 @@ def bench_tri_scene(smoke, peak):
     depth = 4
     n = 2000 if smoke else 100_000
     scene, camera = tri_terrain(resolution=res, n_tris=n)
+    t0 = time.perf_counter()
     scene = traverse.attach_bvh(scene, method="sah")
+    build_s = time.perf_counter() - t0  # host SAH + reorder/pack (numpy)
     scene = to_device(scene)
     # chunk 2048 + compact: measured best on BVH scenes (round-3 sweep:
     # 1.52M vs 1.18M at chunk 4096 no-compact); smaller chunks cut lockstep
@@ -147,7 +169,8 @@ def bench_tri_scene(smoke, peak):
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
                  rays, peak)
-    m.update(res=list(res), spp=spp, depth=depth, n_tris=scene.tris.count)
+    m.update(res=list(res), spp=spp, depth=depth, n_tris=scene.tris.count,
+             bvh_build_s=round(build_s, 2))
     return m
 
 
@@ -207,7 +230,8 @@ def bench_reference_default(smoke, peak):
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
-                 rays, peak)
+                 rays, peak,
+                 analytic_flops=rays * scene.tris.count * FLOPS_TRI_TEST)
     m.update(res=list(res), spp=spp, depth=depth)
     return m
 
@@ -285,13 +309,13 @@ def main() -> None:
                         else None),
         "configs": {
             k: {"rays_per_s": round(v["rays_per_s"], 1),
-                "mfu": round(v["mfu"], 5),
+                "mfu": (round(v["mfu"], 7) if v["mfu"] is not None else None),
                 "wall_s": round(v["wall_s"], 3),
-                **{kk: v[kk] for kk in ("res", "spp", "depth", "n_cones",
-                                        "n_tris", "bvh_build_s",
+                **{kk: v[kk] for kk in ("mfu_source", "res", "spp", "depth",
+                                        "n_cones", "n_tris", "bvh_build_s",
                                         "bvh_build_stages",
                                         "vs_cpu_baseline")
-                   if kk in v}}
+                   if kk in v and v[kk] is not None}}
             for k, v in results.items()
         },
         "device": getattr(dev, "device_kind", dev.platform),
@@ -300,7 +324,8 @@ def main() -> None:
     }
     print(json.dumps(line))
     for k, v in results.items():
-        print(f"# {k}: {v['rays_per_s']/1e6:.2f}M rays/s  mfu={v['mfu']:.4f} "
+        mfu = "null" if v["mfu"] is None else f"{v['mfu']:.2e}"
+        print(f"# {k}: {v['rays_per_s']/1e6:.2f}M rays/s  mfu={mfu} "
               f"wall={v['wall_s']:.2f}s", file=sys.stderr)
 
 
