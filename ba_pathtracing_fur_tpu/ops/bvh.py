@@ -129,6 +129,13 @@ class BVH:
     # to a lane-aligned multiple of 128 (see ops/pallas/traverse.py).
     boxes_cm: jnp.ndarray | None = None
     prim_cm: jnp.ndarray | None = None
+    # DMA-streaming kernel layouts (ops/pallas/stream.py), cached when the
+    # scene is too big for the VMEM-resident kernel: super boxes [6, S],
+    # per-super child boxes [S, 6, F], and the 128-padded leaf geometry
+    # [C, W, K_pad] that stays in HBM and is DMA'd at child granularity.
+    sboxes: jnp.ndarray | None = None
+    cboxes_sf: jnp.ndarray | None = None
+    prim_hbm: jnp.ndarray | None = None
 
     @property
     def depth(self) -> int:
@@ -1017,5 +1024,51 @@ def cone_leaf_rows(cones: ConePack):
                 cones.slope[rows], cones.r_base[rows], cones.min_d[rows],
                 cones.max_d[rows]]
         return _cone_core(o, d, comp, t_min, t_best)
+
+    return fn
+
+
+#: Pack size from which the winner-t recompute goes through a transient AoS
+#: copy: 16 separate [R] random-row gathers from a 9.4M-row SoA cost 348 ms
+#: at 1M winners (dev_overhead.py) — one [R, 16] row gather from an
+#: in-graph AoS stack (a 64-byte line per winner) replaces them. The stack
+#: itself is one linear [N, 16] materialization (~3 ms/GB), so it only pays
+#: off for big packs. Differentiability is preserved: the stack is built
+#: from the live pack arrays inside the graph, so pack gradients flow.
+_AOS_RECOMPUTE_MIN = 1 << 20
+
+
+def cone_leaf_rows_aos(cones: ConePack):
+    """cone_leaf_rows via one AoS row gather (see _AOS_RECOMPUTE_MIN)."""
+    from ..scene.types import ensure_device
+    cones = ensure_device(cones)
+
+    def fn(o, d, rows, t_min, t_best):
+        aos = jnp.stack(
+            [cones.base[:, 0], cones.base[:, 1], cones.base[:, 2],
+             cones.u[:, 0], cones.u[:, 1], cones.u[:, 2],
+             cones.v[:, 0], cones.v[:, 1], cones.v[:, 2],
+             cones.w[:, 0], cones.w[:, 1], cones.w[:, 2],
+             cones.slope, cones.r_base, cones.min_d, cones.max_d],
+            axis=1)  # [N, 16]
+        g = aos[rows]  # [R, k, 16] — one contiguous line per winner row
+        comp = [g[..., i] for i in range(16)]
+        return _cone_core(o, d, comp, t_min, t_best)
+
+    return fn
+
+
+def tri_leaf_rows_aos(tris: TrianglePack):
+    """tri_leaf_rows via one AoS row gather (see _AOS_RECOMPUTE_MIN)."""
+    from ..scene.types import ensure_device
+    tris = ensure_device(tris)
+
+    def fn(o, d, rows, t_min, t_best):
+        v0 = tris.v0
+        aos = jnp.concatenate([v0, tris.v1 - v0, tris.v2 - v0],
+                              axis=1)  # [N, 9]
+        g = aos[rows]
+        comp = [g[..., i] for i in range(9)]
+        return _tri_core(o, d, comp, t_min, t_best)
 
     return fn

@@ -343,7 +343,8 @@ def _octant_perms(d, t_max):
            + (d[:, 2] < 0).astype(jnp.int32))
     key = jnp.where(t_max <= 0.0, 8, key)
     perm = jnp.argsort(key, stable=True)
-    return perm, jnp.argsort(perm)
+    from .compact import invert_permutation
+    return perm, invert_permutation(perm)
 
 
 # VMEM-resident Pallas traversal policy (ops/pallas/traverse.py): on TPU,
@@ -372,17 +373,57 @@ def _use_vmem_kernel(bvh, kind: str = "cone") -> bool:
     return ptrav.vmem_eligible(bvh)
 
 
+# DMA-streaming Pallas traversal policy (ops/pallas/stream.py): scenes TOO
+# BIG for the VMEM-resident kernel traverse via the two-level shared
+# schedule with child-granularity HBM->VMEM DMA. Measured on the 1.8M-cone
+# hair ball (benchmarks/dev_stream_sweep.py, TPU v5e): 2.4-2.7M rays/s on
+# sorted primaries and 1.9M on sorted bounce wavefronts vs the XLA gather
+# path's 0.44M / 0.29M — it needs entry-point-morton ray sorting (see
+# _entry_morton_perms), which closest_hit_bvh/any_hit_bvh switch to
+# whenever this kernel is active. Tri-state override for A/B (None=auto).
+_STREAM_TRAVERSAL: bool | None = None
+
+
+def enable_stream_traversal(on: bool | None = True) -> None:
+    global _STREAM_TRAVERSAL
+    _STREAM_TRAVERSAL = on
+
+
+def _use_stream_kernel(bvh, kind: str = "cone") -> bool:
+    if _STREAM_TRAVERSAL is not None:  # forced A/B: layouts built on the fly
+        return (_STREAM_TRAVERSAL and bvh is not None
+                and bvh.packed is not None and bool(bvh.fanout)
+                and bvh.fanout < bvh.n_leaves)
+    return (bvh is not None and bvh.prim_hbm is not None
+            and jax.default_backend() == "tpu")
+
+
 def _cache_kernel_layouts(bvh, kind: str):
-    """Precompute the Pallas component-major layouts (boxes_cm/prim_cm) on
-    the BVH struct when the VMEM kernel can consume them — ONCE at attach
-    time instead of per traversal call (ADVICE r3: the per-call transpose
-    re-churned the full packed geometry every closest/any_hit per bounce)."""
-    from .pallas import traverse as ptrav
-    if bvh is None or bvh.packed is None or not ptrav.vmem_eligible(bvh):
+    """Precompute the Pallas kernel layouts on the BVH struct — ONCE at
+    attach time instead of per traversal call (ADVICE r3: the per-call
+    transpose re-churned the full packed geometry every closest/any_hit
+    per bounce). VMEM-resident layouts (boxes_cm/prim_cm) when the packed
+    geometry fits on chip; DMA-streaming layouts (sboxes/cboxes_sf/
+    prim_hbm) when it doesn't but the BVH is hierarchical."""
+    from .pallas import stream as pstream, traverse as ptrav
+    if bvh is None or bvh.packed is None:
         return bvh
-    boxes = ptrav.pack_boxes_cm(bvh)
-    prim, _ = ptrav.pack_leaf_cm(bvh, kind)
-    return bvh.replace(boxes_cm=boxes, prim_cm=prim)
+    if ptrav.vmem_eligible(bvh):
+        boxes = ptrav.pack_boxes_cm(bvh)
+        prim, _ = ptrav.pack_leaf_cm(bvh, kind)
+        return bvh.replace(boxes_cm=boxes, prim_cm=prim)
+    if pstream.stream_eligible(bvh):
+        prim, _ = pstream.pack_prim_hbm(bvh, kind)
+        bvh = bvh.replace(sboxes=pstream.pack_super_boxes(bvh),
+                          cboxes_sf=pstream.pack_child_boxes(bvh),
+                          prim_hbm=prim)
+        if jax.default_backend() == "tpu":
+            # prim_hbm subsumes packed (same data, 128-padded); keeping
+            # both costs +604 MB HBM at hair-ball scale and the XLA
+            # gather path it feeds is never taken when streaming is on
+            bvh = bvh.replace(packed=None)
+        return bvh
+    return bvh
 
 
 def _kernel_traverse(bvh, o, d, t_max, kind: str, t_min=1e-4,
@@ -402,6 +443,71 @@ def _kernel_traverse(bvh, o, d, t_max, kind: str, t_min=1e-4,
                                n_clusters=bvh.n_leaves,
                                leaf_k=bvh.leaf_size, t_min=t_min,
                                any_hit=any_hit)
+
+
+def _kernel_traverse_stream(bvh, o, d, t_max, kind: str, t_min=1e-4,
+                            any_hit: bool = False):
+    """traverse_stream wrapper with the same (t, row, found) contract."""
+    from .pallas import stream as pstream
+
+    if bvh.prim_hbm is not None:
+        sb, cb, prim = bvh.sboxes, bvh.cboxes_sf, bvh.prim_hbm
+    else:  # forced-on A/B path without cached layouts
+        sb = pstream.pack_super_boxes(bvh)
+        cb = pstream.pack_child_boxes(bvh)
+        prim, _ = pstream.pack_prim_hbm(bvh, kind)
+    return pstream.traverse_stream(o, d, sb, cb, prim, t_max, kind=kind,
+                                   fanout=bvh.fanout, leaf_k=bvh.leaf_size,
+                                   t_min=t_min, any_hit=any_hit)
+
+
+def _entry_morton_perms(o, d, t_max, bvh):
+    """Stable permutation grouping rays by the 3D morton cell of their
+    scene-ENTRY point (o + max(t_enter, 0) * d against the BVH root box),
+    dead rays (t_max <= 0) last. The streaming kernel's shared schedule
+    pays per-tile UNION of visited clusters, so tiles must be spatially
+    tight: entry-morton gives 2.4M rays/s on shuffled primaries and 1.9M
+    on bounce wavefronts vs 0.14-0.17M unsorted (dev_stream_sweep.py).
+    For bounce rays (origin inside the scene box) the key reduces to
+    morton(origin); for camera rays it spreads by first-hit region."""
+    lo = bvh.bmin[0] - 1e-3
+    hi = bvh.bmax[0] + 1e-3
+    eps = 1e-20
+    inv = 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+    t0 = (lo[None] - o) * inv
+    t1 = (hi[None] - o) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=1)
+    p = jnp.clip(o + jnp.maximum(tn, 0.0)[:, None] * d, lo[None], hi[None])
+    key = bvh_mod.morton_codes(p, lo, hi).astype(jnp.int32)  # 30-bit
+    key = jnp.where(t_max <= 0.0, jnp.int32(1 << 30), key)
+    perm = jnp.argsort(key, stable=True)
+    from .compact import invert_permutation
+    return perm, invert_permutation(perm)
+
+
+def _tri_rows_fn(tris):
+    """Winner-t recompute fn for triangles: AoS row-gather for big packs
+    (one 36-byte line per winner vs 9 scattered element gathers —
+    dev_overhead.py measured 348 ms for the SoA gathers at 1M winners on
+    the 9.4M-cone pack), plain SoA indexing for small ones."""
+    big = tris.count >= bvh_mod._AOS_RECOMPUTE_MIN
+    return (bvh_mod.tri_leaf_rows_aos if big else bvh_mod.tri_leaf_rows)(tris)
+
+
+def _cone_rows_fn(cones):
+    big = cones.count >= bvh_mod._AOS_RECOMPUTE_MIN
+    return (bvh_mod.cone_leaf_rows_aos if big
+            else bvh_mod.cone_leaf_rows)(cones)
+
+
+def _want_pallas_small(r: int, count: int) -> bool:
+    """Small BVH-less packs: the dense [R, P] grid materializes O(R*P)
+    intermediates — at 1M rays x 768 tris that one grid cost 570 ms, more
+    than the whole 9.4M-cone streaming traversal (dev_overhead.py). The
+    Pallas streaming brute-force kernel does the same pair tests from VMEM
+    without the materialization; use it on TPU once the pair count is
+    large enough to matter."""
+    return jax.default_backend() == "tpu" and r * count >= (1 << 24)
 
 
 def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
@@ -425,10 +531,21 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     cap = t_max_arr[:, None]
 
+    # Sort-key choice: the streaming kernel's shared schedule needs
+    # spatially-tight tiles (entry-morton); the XLA/VMEM paths use the
+    # cheaper octant grouping and only when the wavefront spans chunks.
+    stream_cone = _use_stream_kernel(scene.cone_bvh, "cone")
+    stream_tri = _use_stream_kernel(scene.tri_bvh, "tri")
+    sort_bvh = (scene.cone_bvh if stream_cone
+                else scene.tri_bvh if stream_tri else None)
     if sort_rays is None:
-        sort_rays = r > chunk
+        sort_rays = r > chunk or sort_bvh is not None
     if sort_rays:
-        s_perm, s_inv = _octant_perms(sg(d), sg(t_max_arr))
+        if sort_bvh is not None:
+            s_perm, s_inv = _entry_morton_perms(sg(o), sg(d), sg(t_max_arr),
+                                                sg(sort_bvh))
+        else:
+            s_perm, s_inv = _octant_perms(sg(d), sg(t_max_arr))
         o_s, d_s, t_s = sg(o)[s_perm], sg(d)[s_perm], sg(t_max_arr)[s_perm]
     else:
         s_inv = None
@@ -444,19 +561,32 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
         if _use_vmem_kernel(scene.tri_bvh, "tri"):
             _, tri_row, found = _kernel_traverse(sbvh, o_s, d_s, t_s, "tri",
                                                  t_min)
+        elif stream_tri:
+            _, tri_row, found = _kernel_traverse_stream(sbvh, o_s, d_s, t_s,
+                                                        "tri", t_min)
         else:
             _, tri_row, found = bvh_mod.traverse(
                 sbvh, o_s, d_s, bvh_mod.tri_leaf_packed(sbvh), t_min,
                 t_s, chunk=chunk, n_alive=n_alive)
         tri_row = jnp.maximum(unsort(tri_row), 0)
         found = unsort(found)
-        t_re = bvh_mod.tri_leaf_rows(tris)(o, d, tri_row[:, None], t_min,
-                                           t_max_arr)[:, 0]
+        t_re = _tri_rows_fn(tris)(o, d, tri_row[:, None], t_min,
+                                  t_max_arr)[:, 0]
         t_tri = jnp.where(found, t_re, INF)
-    elif tris.count:  # small pack: dense all-pairs grid
-        tg, _, _, _ = isect.triangle_hit_grid(o, d, tris, t_min, cap)
-        tri_row = jnp.argmin(tg, axis=-1).astype(jnp.int32)
-        t_tri = jnp.take_along_axis(tg, tri_row[:, None], axis=-1)[:, 0]
+    elif tris.count:  # small BVH-less pack
+        if _want_pallas_small(r, int(tris.count)):
+            from .pallas import intersect as pk
+            packed, _ = pk.pack_tris_cm(sg(tris))
+            t_k, tri_row = pk.tri_closest(sg(o), sg(d), packed, t_min)
+            tri_row = jnp.maximum(tri_row, 0)
+            found = t_k < t_max_arr
+            t_re = _tri_rows_fn(tris)(o, d, tri_row[:, None], t_min,
+                                      t_max_arr)[:, 0]
+            t_tri = jnp.where(found, t_re, INF)
+        else:  # dense all-pairs grid
+            tg, _, _, _ = isect.triangle_hit_grid(o, d, tris, t_min, cap)
+            tri_row = jnp.argmin(tg, axis=-1).astype(jnp.int32)
+            t_tri = jnp.take_along_axis(tg, tri_row[:, None], axis=-1)[:, 0]
 
     t_cone = jnp.full((r,), INF)
     cone_row = jnp.zeros((r,), jnp.int32)
@@ -465,19 +595,32 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
         if _use_vmem_kernel(scene.cone_bvh, "cone"):
             _, cone_row, found_c = _kernel_traverse(sbvh, o_s, d_s, t_s,
                                                     "cone", t_min)
+        elif stream_cone:
+            _, cone_row, found_c = _kernel_traverse_stream(sbvh, o_s, d_s,
+                                                           t_s, "cone", t_min)
         else:
             _, cone_row, found_c = bvh_mod.traverse(
                 sbvh, o_s, d_s, bvh_mod.cone_leaf_packed(sbvh), t_min,
                 t_s, chunk=chunk, n_alive=n_alive)
         cone_row = jnp.maximum(unsort(cone_row), 0)
         found_c = unsort(found_c)
-        t_re = bvh_mod.cone_leaf_rows(cones)(o, d, cone_row[:, None], t_min,
-                                             t_max_arr)[:, 0]
+        t_re = _cone_rows_fn(cones)(o, d, cone_row[:, None], t_min,
+                                    t_max_arr)[:, 0]
         t_cone = jnp.where(found_c, t_re, INF)
     elif cones.count:
-        cg, _, _ = isect.cone_hit_grid(o, d, cones, t_min, cap)
-        cone_row = jnp.argmin(cg, axis=-1).astype(jnp.int32)
-        t_cone = jnp.take_along_axis(cg, cone_row[:, None], axis=-1)[:, 0]
+        if _want_pallas_small(r, int(cones.count)):
+            from .pallas import intersect as pk
+            packed, _ = pk.pack_cones_cm(sg(cones))
+            t_k, cone_row = pk.cone_closest(sg(o), sg(d), packed, t_min)
+            cone_row = jnp.maximum(cone_row, 0)
+            found_c = t_k < t_max_arr
+            t_re = _cone_rows_fn(cones)(o, d, cone_row[:, None], t_min,
+                                        t_max_arr)[:, 0]
+            t_cone = jnp.where(found_c, t_re, INF)
+        else:
+            cg, _, _ = isect.cone_hit_grid(o, d, cones, t_min, cap)
+            cone_row = jnp.argmin(cg, axis=-1).astype(jnp.int32)
+            t_cone = jnp.take_along_axis(cg, cone_row[:, None], axis=-1)[:, 0]
 
     return _assemble_hit(o, d, scene, t_tri, tri_row, t_cone, cone_row,
                          t_max_arr)
@@ -552,10 +695,17 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
     sg = jax.lax.stop_gradient
     o, d, t_max = sg(o), sg(d), sg(t_max)
     r = o.shape[0]
+    stream_cone = _use_stream_kernel(scene.cone_bvh, "cone")
+    stream_tri = _use_stream_kernel(scene.tri_bvh, "tri")
+    sort_bvh = (scene.cone_bvh if stream_cone
+                else scene.tri_bvh if stream_tri else None)
     if sort_rays is None:
-        sort_rays = r > chunk
+        sort_rays = r > chunk or sort_bvh is not None
     if sort_rays:
-        s_perm, s_inv = _octant_perms(d, t_max)
+        if sort_bvh is not None:
+            s_perm, s_inv = _entry_morton_perms(o, d, t_max, sg(sort_bvh))
+        else:
+            s_perm, s_inv = _octant_perms(d, t_max)
         o, d, t_max = o[s_perm], d[s_perm], t_max[s_perm]
     blocked = jnp.zeros((r,), bool)
     if scene.tri_bvh is not None:
@@ -563,6 +713,9 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
         if _use_vmem_kernel(scene.tri_bvh, "tri"):
             _, _, f = _kernel_traverse(sbvh, o, d, t_max, "tri", t_min,
                                        any_hit=True)
+        elif stream_tri:
+            _, _, f = _kernel_traverse_stream(sbvh, o, d, t_max, "tri",
+                                              t_min, any_hit=True)
         else:
             _, _, f = bvh_mod.traverse(sbvh, o, d,
                                        bvh_mod.tri_leaf_packed(sbvh),
@@ -570,14 +723,23 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
                                        chunk=chunk, n_alive=n_alive)
         blocked |= f
     elif scene.tris.count:
-        tg, _, _, valid = isect.triangle_hit_grid(o, d, scene.tris, t_min,
-                                                  t_max[:, None])
-        blocked |= jnp.any(valid, axis=-1)
+        if _want_pallas_small(r, int(scene.tris.count)):
+            from .pallas import intersect as pk
+            packed, _ = pk.pack_tris_cm(sg(scene.tris))
+            t_k, _ = pk.tri_closest(o, d, packed, t_min)
+            blocked |= t_k < t_max
+        else:
+            tg, _, _, valid = isect.triangle_hit_grid(
+                o, d, scene.tris, t_min, t_max[:, None])
+            blocked |= jnp.any(valid, axis=-1)
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
         if _use_vmem_kernel(scene.cone_bvh, "cone"):
             _, _, f = _kernel_traverse(sbvh, o, d, t_max, "cone", t_min,
                                        any_hit=True)
+        elif stream_cone:
+            _, _, f = _kernel_traverse_stream(sbvh, o, d, t_max, "cone",
+                                              t_min, any_hit=True)
         else:
             _, _, f = bvh_mod.traverse(sbvh, o, d,
                                        bvh_mod.cone_leaf_packed(sbvh),
@@ -585,9 +747,15 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
                                        chunk=chunk, n_alive=n_alive)
         blocked |= f
     elif scene.cones.count:
-        _, _, valid = isect.cone_hit_grid(o, d, scene.cones, t_min,
-                                          t_max[:, None])
-        blocked |= jnp.any(valid, axis=-1)
+        if _want_pallas_small(r, int(scene.cones.count)):
+            from .pallas import intersect as pk
+            packed, _ = pk.pack_cones_cm(sg(scene.cones))
+            t_k, _ = pk.cone_closest(o, d, packed, t_min)
+            blocked |= t_k < t_max
+        else:
+            _, _, valid = isect.cone_hit_grid(o, d, scene.cones, t_min,
+                                              t_max[:, None])
+            blocked |= jnp.any(valid, axis=-1)
     if sort_rays:
         blocked = blocked[s_inv]
     return blocked

@@ -193,7 +193,8 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
     scene = traverse.attach_bvh(scene, method="median")
     import jax as _jax
     if scene.cone_bvh is not None:
-        _jax.block_until_ready(scene.cone_bvh.packed)
+        b = scene.cone_bvh
+        _jax.block_until_ready(b.prim_hbm if b.packed is None else b.packed)
     build_s = time.perf_counter() - t0
     scene = to_device(scene)
     # chunk: 2048 for the fur patch (VMEM-kernel path), 1024 for the hair

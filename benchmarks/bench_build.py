@@ -40,7 +40,7 @@ def main() -> None:
         # block_until_ready can return early on tunneled runtimes (r3
         # finding); a materializing host copy of a packed-dependent scalar
         # cannot — it forces upload + every queued device op to complete.
-        np.asarray(jnp_sum(acc.cone_bvh.packed))
+        np.asarray(jnp_sum(acc.cone_bvh.prim_hbm if acc.cone_bvh.packed is None else acc.cone_bvh.packed))
 
     import jax.numpy as jnp
 

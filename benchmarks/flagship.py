@@ -56,7 +56,7 @@ def main() -> None:
     t0 = time.perf_counter()
     scene = traverse.attach_bvh(scene, method="median")
     if scene.cone_bvh is not None:
-        jax.block_until_ready(scene.cone_bvh.packed)
+        jax.block_until_ready(scene.cone_bvh.prim_hbm if scene.cone_bvh.packed is None else scene.cone_bvh.packed)
     stats["bvh_build_s"] = round(time.perf_counter() - t0, 1)
     stats["bvh_build_stages"] = dict(traverse.LAST_BUILD_STATS)
     scene = to_device(scene)

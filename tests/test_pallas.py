@@ -143,3 +143,69 @@ def test_vmem_traversal_render_dispatch():
     assert np.all(np.isfinite(forced))
     assert np.allclose(base, forced, rtol=1e-4, atol=1e-5), \
         float(np.abs(base - forced).max())
+
+
+def test_stream_traversal_matches_xla_traversal():
+    """The DMA-streaming two-level kernel must agree with ops.bvh.traverse:
+    identical found mask and winner rows (t recomputed by the dispatch)."""
+    from ba_pathtracing_fur_tpu.ops import bvh as bvh_mod, traverse
+    from ba_pathtracing_fur_tpu.ops.pallas import stream as pstream
+    from ba_pathtracing_fur_tpu.scene.builtins import fur_patch
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+
+    sc, cam = fur_patch(resolution=(16, 16), fibers_per_face=120,
+                        fiber_verts=6)
+    sc = to_device(traverse.attach_bvh(sc, method="median", min_prims=1,
+                                       leaf_size=16, fanout=8))
+    b = sc.cone_bvh
+    assert b.fanout == 8 and b.n_leaves > 8
+    o, d = _rays(512, 5, aim=((-0.4, 0.0, -0.4), (0.4, 0.12, 0.4)))
+    tmax = jnp.full((512,), isect.INF)
+    t0, r0, f0 = bvh_mod.traverse(b, o, d, bvh_mod.cone_leaf_packed(b),
+                                  1e-4, tmax, chunk=4096)
+    sb = pstream.pack_super_boxes(b)
+    cb = pstream.pack_child_boxes(b)
+    prim, _ = pstream.pack_prim_hbm(b, "cone")
+    t1, r1, f1 = pstream.traverse_stream(
+        o, d, sb, cb, prim, tmax, kind="cone", fanout=b.fanout,
+        leaf_k=b.leaf_size, ray_tile=128)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    m = np.asarray(f0)
+    np.testing.assert_array_equal(np.asarray(r0)[m], np.asarray(r1)[m])
+    assert np.allclose(np.asarray(t0)[m], np.asarray(t1)[m], rtol=1e-4)
+
+    # any-hit variant: identical blocked sets
+    tm = jnp.full((512,), 1.0)
+    _, _, a0 = bvh_mod.traverse(b, o, d, bvh_mod.cone_leaf_packed(b), 1e-4,
+                                tm, any_hit=True, chunk=4096)
+    _, _, a1 = pstream.traverse_stream(
+        o, d, sb, cb, prim, tm, kind="cone", fanout=b.fanout,
+        leaf_k=b.leaf_size, any_hit=True, ray_tile=128)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_stream_traversal_render_dispatch():
+    """Forcing the streaming kernel through closest_hit/any_hit dispatch
+    (entry-morton sort + winner-t recompute) renders the same image as the
+    XLA traversal."""
+    import jax
+    from ba_pathtracing_fur_tpu.models.pathtracer import (
+        RenderConfig, render_image)
+    from ba_pathtracing_fur_tpu.ops import traverse
+    from ba_pathtracing_fur_tpu.scene.builtins import fur_patch
+    from ba_pathtracing_fur_tpu.scene.types import to_device
+
+    sc, cam = fur_patch(resolution=(24, 24), fibers_per_face=60)
+    sc = to_device(traverse.attach_bvh(sc, method="median", min_prims=1,
+                                       leaf_size=16, fanout=8))
+    cfg = RenderConfig(depth=2, spp=1, ray_chunk=256, compact=False)
+    key = jax.random.key(0)
+    base = np.asarray(render_image(sc, cam, key, cfg))
+    traverse.enable_stream_traversal(True)
+    try:
+        forced = np.asarray(render_image(sc, cam, key, cfg))
+    finally:
+        traverse.enable_stream_traversal(None)
+    assert np.all(np.isfinite(forced))
+    assert np.allclose(base, forced, rtol=1e-4, atol=1e-5), \
+        float(np.abs(base - forced).max())
