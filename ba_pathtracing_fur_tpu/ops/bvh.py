@@ -136,6 +136,13 @@ class BVH:
     sboxes: jnp.ndarray | None = None
     cboxes_sf: jnp.ndarray | None = None
     prim_hbm: jnp.ndarray | None = None
+    # Attach-time AoS of the reordered pack ([N,19] cones / [N,34] tris)
+    # for the winner-row gather (traverse.take_*_rows): building it
+    # in-graph per bounce is a ~700 MB HBM transient at 9.4M cones (it
+    # OOM'd the flagship compile). Geometry packs are constants in every
+    # supported grad path (diff.fit optimizes materials/lights/env only),
+    # so a static copy loses no gradients.
+    aos_rows: jnp.ndarray | None = None
 
     @property
     def depth(self) -> int:
@@ -1028,47 +1035,3 @@ def cone_leaf_rows(cones: ConePack):
     return fn
 
 
-#: Pack size from which the winner-t recompute goes through a transient AoS
-#: copy: 16 separate [R] random-row gathers from a 9.4M-row SoA cost 348 ms
-#: at 1M winners (dev_overhead.py) — one [R, 16] row gather from an
-#: in-graph AoS stack (a 64-byte line per winner) replaces them. The stack
-#: itself is one linear [N, 16] materialization (~3 ms/GB), so it only pays
-#: off for big packs. Differentiability is preserved: the stack is built
-#: from the live pack arrays inside the graph, so pack gradients flow.
-_AOS_RECOMPUTE_MIN = 1 << 20
-
-
-def cone_leaf_rows_aos(cones: ConePack):
-    """cone_leaf_rows via one AoS row gather (see _AOS_RECOMPUTE_MIN)."""
-    from ..scene.types import ensure_device
-    cones = ensure_device(cones)
-
-    def fn(o, d, rows, t_min, t_best):
-        aos = jnp.stack(
-            [cones.base[:, 0], cones.base[:, 1], cones.base[:, 2],
-             cones.u[:, 0], cones.u[:, 1], cones.u[:, 2],
-             cones.v[:, 0], cones.v[:, 1], cones.v[:, 2],
-             cones.w[:, 0], cones.w[:, 1], cones.w[:, 2],
-             cones.slope, cones.r_base, cones.min_d, cones.max_d],
-            axis=1)  # [N, 16]
-        g = aos[rows]  # [R, k, 16] — one contiguous line per winner row
-        comp = [g[..., i] for i in range(16)]
-        return _cone_core(o, d, comp, t_min, t_best)
-
-    return fn
-
-
-def tri_leaf_rows_aos(tris: TrianglePack):
-    """tri_leaf_rows via one AoS row gather (see _AOS_RECOMPUTE_MIN)."""
-    from ..scene.types import ensure_device
-    tris = ensure_device(tris)
-
-    def fn(o, d, rows, t_min, t_best):
-        v0 = tris.v0
-        aos = jnp.concatenate([v0, tris.v1 - v0, tris.v2 - v0],
-                              axis=1)  # [N, 9]
-        g = aos[rows]
-        comp = [g[..., i] for i in range(9)]
-        return _tri_core(o, d, comp, t_min, t_best)
-
-    return fn

@@ -84,9 +84,23 @@ def triangle_hit_grid(o, d, tris: TrianglePack, t_min, t_max):
 def triangle_interpolate(tris: TrianglePack, tri_id, point, o, d):
     """Recompute barycentrics at the winning triangle and interpolate
     normal/uv (Triangle barycentric interp parity)."""
-    v0 = tris.v0[tri_id]
-    e1 = tris.v1[tri_id] - v0
-    e2 = tris.v2[tri_id] - v0
+    return triangle_interpolate_rows(
+        TrianglePack(v0=tris.v0[tri_id], v1=tris.v1[tri_id],
+                     v2=tris.v2[tri_id], n0=tris.n0[tri_id],
+                     n1=tris.n1[tri_id], n2=tris.n2[tri_id],
+                     uv0=tris.uv0[tri_id], uv1=tris.uv1[tri_id],
+                     uv2=tris.uv2[tri_id], mat_id=tris.mat_id[tri_id],
+                     fiber_u=tris.fiber_u[tri_id],
+                     fiber_v=tris.fiber_v[tri_id],
+                     fiber_w=tris.fiber_w[tri_id]), point, o, d)
+
+
+def triangle_interpolate_rows(rp: TrianglePack, point, o, d):
+    """triangle_interpolate on an already-gathered per-ray row pack
+    (leaves [R, ...]) — the gather-consolidated assembly path."""
+    v0 = rp.v0
+    e1 = rp.v1 - v0
+    e2 = rp.v2 - v0
     p = jnp.cross(d, e2)
     det = vm.dot(e1, p, keepdims=True)
     inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
@@ -95,8 +109,8 @@ def triangle_interpolate(tris: TrianglePack, tri_id, point, o, d):
     q = jnp.cross(tvec, e1)
     v = (vm.dot(d, q, keepdims=True) * inv_det)
     w = 1.0 - u - v
-    normal = vm.normalize(w * tris.n0[tri_id] + u * tris.n1[tri_id] + v * tris.n2[tri_id])
-    uv = w * tris.uv0[tri_id] + u * tris.uv1[tri_id] + v * tris.uv2[tri_id]
+    normal = vm.normalize(w * rp.n0 + u * rp.n1 + v * rp.n2)
+    uv = w * rp.uv0 + u * rp.uv1 + v * rp.uv2
     return normal, uv, jnp.concatenate([u, v], axis=-1)
 
 
@@ -165,23 +179,37 @@ def cone_hit_grid(o, d, cones: ConePack, t_min, t_max, ray_eps=1e-4):
 
 def cone_normal(cones: ConePack, cone_id, point):
     """Cylinder::calcNormal (Cylinder.cpp:230-237): radial dir + slope tilt."""
-    v_ax = cones.v[cone_id]
-    t_axis = vm.dot(point, v_ax, keepdims=True) - cones.base_d[cone_id][..., None]
+    return cone_normal_rows(cones.v[cone_id], cones.base[cone_id],
+                            cones.base_d[cone_id], cones.slope[cone_id],
+                            point)
+
+
+def cone_normal_rows(v_ax, base, base_d, slope, point):
+    """cone_normal on already-gathered per-ray components [R, ...]."""
+    t_axis = vm.dot(point, v_ax, keepdims=True) - base_d[..., None]
     q1 = point - t_axis * v_ax
-    n = vm.normalize(q1 - cones.base[cone_id])
-    return vm.normalize(n + cones.slope[cone_id][..., None] * v_ax)
+    n = vm.normalize(q1 - base)
+    return vm.normalize(n + slope[..., None] * v_ax)
 
 
 def cone_texcoord(cones: ConePack, cone_id, point):
     """Cylinder::calcTcoord (Cylinder.cpp:239-260): (phi/2pi, v/height)."""
-    rel = point - cones.base[cone_id]
-    u = vm.dot(rel, cones.u[cone_id])
-    v = vm.dot(rel, cones.v[cone_id])
-    w = vm.dot(rel, cones.w[cone_id])
-    r = cones.r_base[cone_id] - cones.slope[cone_id] * v
+    return cone_texcoord_rows(cones.base[cone_id], cones.u[cone_id],
+                              cones.v[cone_id], cones.w[cone_id],
+                              cones.r_base[cone_id], cones.slope[cone_id],
+                              cones.height[cone_id], point)
+
+
+def cone_texcoord_rows(base, u_ax, v_ax, w_ax, r_base, slope, height, point):
+    """cone_texcoord on already-gathered per-ray components [R, ...]."""
+    rel = point - base
+    u = vm.dot(rel, u_ax)
+    v = vm.dot(rel, v_ax)
+    w = vm.dot(rel, w_ax)
+    r = r_base - slope * v
     tmp = jnp.clip(w / jnp.where(jnp.abs(r) < 1e-12, 1e-12, r), -1.0 + 1e-7, 1.0 - 1e-7)
     phi = jnp.where(u < 0.0, 2.0 * jnp.pi - jnp.arccos(tmp), jnp.arccos(tmp))
-    return jnp.stack([phi / (2.0 * jnp.pi), v / cones.height[cone_id]], axis=-1)
+    return jnp.stack([phi / (2.0 * jnp.pi), v / height], axis=-1)
 
 
 def cone_aabbs(cones: ConePack):

@@ -80,8 +80,13 @@ def pack_cones_cm(cones: ConePack, prim_tile: int = PRIM_TILE):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _tri_kernel(o_ref, d_ref, prim_ref, tmin_ref, t_ref, idx_ref):
-    """One (ray_tile, prim_tile) step of the Möller-Trumbore min-reduction."""
+def _tri_kernel(rays_ref, prim_ref, tmin_ref, t_ref, idx_ref):
+    """One (ray_tile, prim_tile) step of the Möller-Trumbore min-reduction.
+
+    Rays arrive component-major [8, T] (o xyz, d xyz, 2 pad rows) and
+    results leave as [1, T] rows — [R, 3]/[R, 1] Pallas operands get
+    row-major layouts physically padded to 128 lanes (42-128x HBM bloat;
+    see ops/pallas/stream.py)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -89,12 +94,12 @@ def _tri_kernel(o_ref, d_ref, prim_ref, tmin_ref, t_ref, idx_ref):
         t_ref[:] = jnp.full_like(t_ref, _INF)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
-    ox = o_ref[:, 0:1]
-    oy = o_ref[:, 1:2]
-    oz = o_ref[:, 2:3]
-    dx = d_ref[:, 0:1]
-    dy = d_ref[:, 1:2]
-    dz = d_ref[:, 2:3]
+    ox = jnp.transpose(rays_ref[0:1, :])  # [T, 1]
+    oy = jnp.transpose(rays_ref[1:2, :])
+    oz = jnp.transpose(rays_ref[2:3, :])
+    dx = jnp.transpose(rays_ref[3:4, :])
+    dy = jnp.transpose(rays_ref[4:5, :])
+    dz = jnp.transpose(rays_ref[5:6, :])
 
     v0x = prim_ref[0:1, :]
     v0y = prim_ref[1:2, :]
@@ -128,13 +133,14 @@ def _tri_kernel(o_ref, d_ref, prim_ref, tmin_ref, t_ref, idx_ref):
 
     tile_best = jnp.min(t, axis=1)
     tile_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + j * t.shape[1]
-    better = tile_best < t_ref[:, 0]
-    t_ref[:, 0] = jnp.where(better, tile_best, t_ref[:, 0])
-    idx_ref[:, 0] = jnp.where(better, tile_arg, idx_ref[:, 0])
+    better = tile_best < t_ref[0, :]
+    t_ref[0, :] = jnp.where(better, tile_best, t_ref[0, :])
+    idx_ref[0, :] = jnp.where(better, tile_arg, idx_ref[0, :])
 
 
-def _cone_kernel(o_ref, d_ref, prim_ref, tmin_ref, t_ref, idx_ref):
-    """One (ray_tile, prim_tile) step of the KIRK cone min-reduction."""
+def _cone_kernel(rays_ref, prim_ref, tmin_ref, t_ref, idx_ref):
+    """One (ray_tile, prim_tile) step of the KIRK cone min-reduction.
+    Ray/result layouts as in _tri_kernel."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -142,12 +148,12 @@ def _cone_kernel(o_ref, d_ref, prim_ref, tmin_ref, t_ref, idx_ref):
         t_ref[:] = jnp.full_like(t_ref, _INF)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
-    ox = o_ref[:, 0:1]
-    oy = o_ref[:, 1:2]
-    oz = o_ref[:, 2:3]
-    ddx = d_ref[:, 0:1]
-    ddy = d_ref[:, 1:2]
-    ddz = d_ref[:, 2:3]
+    ox = jnp.transpose(rays_ref[0:1, :])  # [T, 1]
+    oy = jnp.transpose(rays_ref[1:2, :])
+    oz = jnp.transpose(rays_ref[2:3, :])
+    ddx = jnp.transpose(rays_ref[3:4, :])
+    ddy = jnp.transpose(rays_ref[4:5, :])
+    ddz = jnp.transpose(rays_ref[5:6, :])
 
     bx, by, bz = prim_ref[0:1, :], prim_ref[1:2, :], prim_ref[2:3, :]
     ux, uy, uz = prim_ref[3:4, :], prim_ref[4:5, :], prim_ref[5:6, :]
@@ -193,18 +199,21 @@ def _cone_kernel(o_ref, d_ref, prim_ref, tmin_ref, t_ref, idx_ref):
 
     tile_best = jnp.min(t, axis=1)
     tile_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + j * t.shape[1]
-    better = tile_best < t_ref[:, 0]
-    t_ref[:, 0] = jnp.where(better, tile_best, t_ref[:, 0])
-    idx_ref[:, 0] = jnp.where(better, tile_arg, idx_ref[:, 0])
+    better = tile_best < t_ref[0, :]
+    t_ref[0, :] = jnp.where(better, tile_best, t_ref[0, :])
+    idx_ref[0, :] = jnp.where(better, tile_arg, idx_ref[0, :])
 
 
 def _closest(kernel, width, o, d, packed, t_min, ray_tile, prim_tile):
     r = o.shape[0]
     p_pad = packed.shape[1]
     pad_r = (-r) % ray_tile
-    o_p = jnp.pad(o, ((0, pad_r), (0, 0)))
-    d_p = jnp.pad(d, ((0, pad_r), (0, 0)), constant_values=1.0)
     r_pad = r + pad_r
+    rays_cm = jnp.concatenate([
+        jnp.pad(o, ((0, pad_r), (0, 0))).T,
+        jnp.pad(d, ((0, pad_r), (0, 0)), constant_values=1.0).T,
+        jnp.zeros((2, r_pad), jnp.float32),
+    ], axis=0)  # [8, R] — see _tri_kernel layout note
     grid = (r_pad // ray_tile, p_pad // prim_tile)
     tmin_arr = jnp.full((1, 1), t_min, jnp.float32)
 
@@ -212,9 +221,7 @@ def _closest(kernel, width, o, d, packed, t_min, ray_tile, prim_tile):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ray_tile, 3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((8, ray_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((width, prim_tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -222,18 +229,18 @@ def _closest(kernel, width, o, d, packed, t_min, ray_tile, prim_tile):
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ray_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((1, ray_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((1, ray_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         ],
         interpret=_interpret(),
-    )(o_p, d_p, packed, tmin_arr)
-    return t[:r, 0], idx[:r, 0]
+    )(rays_cm, packed, tmin_arr)
+    return t[0, :r], idx[0, :r]
 
 
 def tri_closest(o, d, packed_cm, t_min=1e-4, ray_tile=RAY_TILE,

@@ -194,26 +194,36 @@ def _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k, k_pad,
     blk (scratch [2, W, K_pad]), sem (DMA x2), supt [T,S], childt [T,F].
     """
 
-    def kernel(o_ref, d_ref, tmax_ref, sbox_ref, cbox_ref, prim_ref,
-               t_ref, idx_ref, blk_ref, sem_ref, supt_ref, childt_ref):
-        t_best0 = tmax_ref[:]  # [T, 1]
-        t_ref[:] = t_best0
+    # I/O layout note: all per-ray data arrives as ONE component-major
+    # [8, R] array (o xyz, d xyz, t_max, pad — exactly 8 sublanes, zero
+    # physical padding) and leaves as [1, R] rows — NOT [R, 3]/[R, 1].
+    # Pallas operands get row-major {1,0:T(8,128)} HBM layouts, so a
+    # [R, 1] output is physically padded 1->128 lanes: 512 MB per 1M-ray
+    # buffer (26 such temps OOM'd the flagship compile at 15.5 G with
+    # 1.9% utilization).
+    def kernel(rays_ref, sbox_ref, cbox_ref, prim_ref,
+               t_ref, idx_ref, blk_ref, sem_ref, supt_ref, childt_ref,
+               tw_ref, iw_ref):
+        t_best0 = jnp.transpose(rays_ref[6:7, :])  # [T, 1]
+        t_ref[:] = jnp.transpose(t_best0)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
         @pl.when(jnp.max(t_best0) > 0.0)
         def _():
-            _tile(o_ref, d_ref, sbox_ref, cbox_ref, prim_ref,
-                  t_ref, idx_ref, blk_ref, sem_ref, supt_ref, childt_ref)
+            _tile(rays_ref, t_best0, sbox_ref, cbox_ref, prim_ref,
+                  t_ref, idx_ref, blk_ref, sem_ref, supt_ref, childt_ref,
+                  tw_ref, iw_ref)
 
     def _dma(prim_ref, blk_ref, sem_ref, gid, slot):
         """Copy descriptor for child gid -> blk slot (static slot)."""
         return pltpu.make_async_copy(prim_ref.at[gid], blk_ref.at[slot],
                                      sem_ref.at[slot])
 
-    def _tile(o_ref, d_ref, sbox_ref, cbox_ref, prim_ref,
-              t_ref, idx_ref, blk_ref, sem_ref, supt_ref, childt_ref):
-        o = o_ref[:]
-        d = d_ref[:]
+    def _tile(rays_ref, t_best0, sbox_ref, cbox_ref, prim_ref,
+              t_out_ref, idx_out_ref, blk_ref, sem_ref, supt_ref,
+              childt_ref, t_ref, idx_ref):
+        o = jnp.transpose(rays_ref[0:3, :])  # -> [T, 3]
+        d = jnp.transpose(rays_ref[3:6, :])
         t_rows = o.shape[0]
         eps = 1e-20
         inv = 1.0 / jnp.where(jnp.abs(d) < eps,
@@ -222,7 +232,9 @@ def _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k, k_pad,
         col_f = jax.lax.broadcasted_iota(jnp.int32, (1, fanout), 1)
         col_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
 
-        supt_ref[:] = _slab6(sbox_ref[:], o, inv, t_ref[:])
+        t_ref[:] = t_best0  # [T, 1] working state in scratch
+        idx_ref[:] = jnp.full((t_rows, 1), -1, jnp.int32)
+        supt_ref[:] = _slab6(sbox_ref[:], o, inv, t_best0)
         childt_ref[:] = jnp.full((t_rows, fanout), _INF, jnp.float32)
 
         def inner_body(carry):
@@ -364,6 +376,9 @@ def _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k, k_pad,
             def _():
                 _dma(prim_ref, blk_ref, sem_ref, 0, 1).wait()
 
+        t_out_ref[:] = jnp.transpose(t_ref[:])      # [T,1] -> [1,T]
+        idx_out_ref[:] = jnp.transpose(idx_ref[:])
+
     return kernel
 
 
@@ -390,22 +405,23 @@ def traverse_stream(o, d, sboxes, cboxes, prim_hbm, t_max, *, kind: str,
     n_sup = sboxes.shape[1]
     r = o.shape[0]
     pad = (-r) % ray_tile
-    o_p = jnp.pad(o, ((0, pad), (0, 0)))
-    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    t_p = jnp.pad(jnp.asarray(t_max, jnp.float32), (0, pad))[:, None]
     r_pad = r + pad
+    g = r_pad // ray_tile
+    # ONE component-major [8, R] ray operand — see the kernel I/O note
+    rays_cm = jnp.concatenate([
+        jnp.pad(o, ((0, pad), (0, 0))).T,
+        jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0).T,
+        jnp.pad(jnp.asarray(t_max, jnp.float32), (0, pad))[None, :],
+        jnp.zeros((1, r_pad), jnp.float32),
+    ], axis=0)
     kernel = _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k,
                                  k_pad, t_min, any_hit)
 
     t, idx = pl.pallas_call(
         kernel,
-        grid=(r_pad // ray_tile,),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((8, ray_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, n_sup), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -414,22 +430,24 @@ def traverse_stream(o, d, sboxes, cboxes, prim_hbm, t_max, *, kind: str,
             pl.BlockSpec(memory_space=pltpu.ANY),  # prim stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, width, k_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((ray_tile, n_sup), jnp.float32),
             pltpu.VMEM((ray_tile, fanout), jnp.float32),
+            pltpu.VMEM((ray_tile, 1), jnp.float32),
+            pltpu.VMEM((ray_tile, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(o_p, d_p, t_p, sboxes, cboxes, prim_hbm)
-    found = idx[:r, 0] >= 0
-    return t[:r, 0], idx[:r, 0], found
+    )(rays_cm, sboxes, cboxes, prim_hbm)
+    t, idx = t[0, :r], idx[0, :r]
+    return t, idx, idx >= 0

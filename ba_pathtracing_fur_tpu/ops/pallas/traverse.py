@@ -150,22 +150,26 @@ def _make_kernel(block_fn, width, n_clusters, leaf_k, k_pad, t_min,
     t_cols = n_clusters  # entry-grid width
     BIGI = 2 ** 30  # python literal: kernels must not capture traced constants
 
-    def kernel(o_ref, d_ref, boxes_ref, prim_ref, tmax_ref, t_ref, idx_ref):
-        t_best0 = tmax_ref[:]  # [T, 1]
+    # rays arrive component-major [8, T] (o xyz, d xyz, t_max, pad) and
+    # results leave as [1, T] rows — [R, 3]/[R, 1] Pallas operands get
+    # row-major layouts physically padded to 128 lanes (42-128x HBM
+    # bloat; see ops/pallas/stream.py).
+    def kernel(rays_ref, boxes_ref, prim_ref, t_ref, idx_ref):
+        t_best0 = jnp.transpose(rays_ref[6:7, :])  # [T, 1]
         # defaults first; whole-dead tiles (compacted wavefronts put dead
         # rays, t_max=0, in the tail) skip phase 1 + the round loop
-        t_ref[:] = t_best0
+        t_ref[:] = jnp.transpose(t_best0)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
         @pl.when(jnp.max(t_best0) > 0.0)
         def _():
-            _traverse_tile(o_ref, d_ref, boxes_ref, prim_ref, t_best0,
+            _traverse_tile(rays_ref, boxes_ref, prim_ref, t_best0,
                            t_ref, idx_ref)
 
-    def _traverse_tile(o_ref, d_ref, boxes_ref, prim_ref, t_best0,
+    def _traverse_tile(rays_ref, boxes_ref, prim_ref, t_best0,
                        t_ref, idx_ref):
-        o = o_ref[:]
-        d = d_ref[:]
+        o = jnp.transpose(rays_ref[0:3, :])  # [T, 3]
+        d = jnp.transpose(rays_ref[3:6, :])
         t_rows = o.shape[0]
         eps = 1e-20
         inv = 1.0 / jnp.where(jnp.abs(d) < eps,
@@ -227,8 +231,8 @@ def _make_kernel(block_fn, width, n_clusters, leaf_k, k_pad, t_min,
                 jnp.full((t_rows, 1), -1, jnp.int32),
                 useful_min(tn, t_best0))
         _, _, t_best, best, _ = jax.lax.while_loop(cond, body, init)
-        t_ref[:] = t_best
-        idx_ref[:] = best
+        t_ref[:] = jnp.transpose(t_best)    # [T,1] -> [1,T]
+        idx_ref[:] = jnp.transpose(best)
 
     return kernel
 
@@ -253,10 +257,13 @@ def traverse_vmem(o, d, boxes_cm, prim_cm, t_max, *, kind: str,
     k_pad = prim_cm.shape[1] // n_clusters
     r = o.shape[0]
     pad = (-r) % ray_tile
-    o_p = jnp.pad(o, ((0, pad), (0, 0)))
-    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    t_p = jnp.pad(jnp.asarray(t_max, jnp.float32), (0, pad))[:, None]
     r_pad = r + pad
+    rays_cm = jnp.concatenate([
+        jnp.pad(o, ((0, pad), (0, 0))).T,
+        jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0).T,
+        jnp.pad(jnp.asarray(t_max, jnp.float32), (0, pad))[None, :],
+        jnp.zeros((1, r_pad), jnp.float32),
+    ], axis=0)  # [8, R] — see _make_kernel layout note
     kernel = _make_kernel(block_fn, width, n_clusters, leaf_k, k_pad,
                           t_min, any_hit)
 
@@ -264,31 +271,27 @@ def traverse_vmem(o, d, boxes_cm, prim_cm, t_max, *, kind: str,
         kernel,
         grid=(r_pad // ray_tile,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
+            pl.BlockSpec((8, ray_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, n_clusters), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((width, n_clusters * k_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         ],
         interpret=_interpret(),
-    )(o_p, d_p, boxes_cm, prim_cm, t_p)
-    found = idx[:r, 0] >= 0
-    return t[:r, 0], idx[:r, 0], found
+    )(rays_cm, boxes_cm, prim_cm)
+    t, idx = t[0, :r], idx[0, :r]
+    return t, idx, idx >= 0
 
 
 def vmem_eligible(bvh) -> bool:

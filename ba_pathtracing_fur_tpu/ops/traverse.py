@@ -303,8 +303,8 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
             cone_bvh = cone_bvh.replace(fanout=f)
             cones = bvh_mod.reorder_cones(cones, cone_bvh)
             cone_bvh = bvh_mod.pack_cones(cones, cone_bvh)
-    tri_bvh = _cache_kernel_layouts(tri_bvh, "tri")
-    cone_bvh = _cache_kernel_layouts(cone_bvh, "cone")
+    tri_bvh = _cache_kernel_layouts(tri_bvh, "tri", tris)
+    cone_bvh = _cache_kernel_layouts(cone_bvh, "cone", cones)
     return scene.replace(tris=tris, cones=cones, tri_bvh=tri_bvh,
                          cone_bvh=cone_bvh)
 
@@ -312,9 +312,14 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
 def _cone_enter_at(cones, cone_id, o, d, t):
     """Was the winning cone hit the entering (nearer) root? Recompute the
     quadratic for the single winner (Cylinder.cpp:126,140 semantics)."""
-    base = cones.base[cone_id]
-    u_ax, v_ax, w_ax = cones.u[cone_id], cones.v[cone_id], cones.w[cone_id]
-    slope, r_base = cones.slope[cone_id], cones.r_base[cone_id]
+    return _cone_enter_rows(cones.base[cone_id], cones.u[cone_id],
+                            cones.v[cone_id], cones.w[cone_id],
+                            cones.slope[cone_id], cones.r_base[cone_id],
+                            o, d, t)
+
+
+def _cone_enter_rows(base, u_ax, v_ax, w_ax, slope, r_base, o, d, t):
+    """_cone_enter_at on already-gathered per-ray components [R, ...]."""
     rel = o - base
     px, py, pz = vm.dot(rel, u_ax), vm.dot(rel, v_ax), vm.dot(rel, w_ax)
     dx, dy, dz = vm.dot(d, u_ax), vm.dot(d, v_ax), vm.dot(d, w_ax)
@@ -398,16 +403,23 @@ def _use_stream_kernel(bvh, kind: str = "cone") -> bool:
             and jax.default_backend() == "tpu")
 
 
-def _cache_kernel_layouts(bvh, kind: str):
+def _cache_kernel_layouts(bvh, kind: str, pack=None):
     """Precompute the Pallas kernel layouts on the BVH struct — ONCE at
     attach time instead of per traversal call (ADVICE r3: the per-call
     transpose re-churned the full packed geometry every closest/any_hit
     per bounce). VMEM-resident layouts (boxes_cm/prim_cm) when the packed
     geometry fits on chip; DMA-streaming layouts (sboxes/cboxes_sf/
-    prim_hbm) when it doesn't but the BVH is hierarchical."""
+    prim_hbm) when it doesn't but the BVH is hierarchical. `pack` (the
+    reordered prim pack) additionally caches the winner-row AoS table for
+    big packs (see BVH.aos_rows)."""
     from .pallas import stream as pstream, traverse as ptrav
     if bvh is None or bvh.packed is None:
         return bvh
+    if pack is not None and pack.count >= _DEVICE_BUILD_MIN:
+        from ..scene.types import ensure_device
+        pack = ensure_device(pack)
+        bvh = bvh.replace(aos_rows=(cone_aos if kind == "cone"
+                                    else tri_aos)(pack))
     if ptrav.vmem_eligible(bvh):
         boxes = ptrav.pack_boxes_cm(bvh)
         prim, _ = ptrav.pack_leaf_cm(bvh, kind)
@@ -485,19 +497,77 @@ def _entry_morton_perms(o, d, t_max, bvh):
     return perm, invert_permutation(perm)
 
 
-def _tri_rows_fn(tris):
-    """Winner-t recompute fn for triangles: AoS row-gather for big packs
-    (one 36-byte line per winner vs 9 scattered element gathers —
-    dev_overhead.py measured 348 ms for the SoA gathers at 1M winners on
-    the 9.4M-cone pack), plain SoA indexing for small ones."""
-    big = tris.count >= bvh_mod._AOS_RECOMPUTE_MIN
-    return (bvh_mod.tri_leaf_rows_aos if big else bvh_mod.tri_leaf_rows)(tris)
+def _i2f(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
 
 
-def _cone_rows_fn(cones):
-    big = cones.count >= bvh_mod._AOS_RECOMPUTE_MIN
-    return (bvh_mod.cone_leaf_rows_aos if big
-            else bvh_mod.cone_leaf_rows)(cones)
+def _f2i(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def cone_aos(cones) -> jnp.ndarray:
+    """[N, 19] AoS of every cone field the winner-t recompute + Hit
+    assembly need (int mat_id bitcast into the f32 columns)."""
+    return jnp.concatenate([
+        cones.base, cones.u, cones.v, cones.w,
+        jnp.stack([cones.slope, cones.r_base, cones.min_d, cones.max_d,
+                   cones.base_d, cones.height, _i2f(cones.mat_id)], axis=1),
+    ], axis=1)
+
+
+def tri_aos(tris) -> jnp.ndarray:
+    """[N, 34] AoS of every triangle field assembly needs."""
+    return jnp.concatenate([
+        tris.v0, tris.v1, tris.v2, tris.n0, tris.n1, tris.n2,
+        tris.uv0, tris.uv1, tris.uv2, tris.fiber_u, tris.fiber_v,
+        tris.fiber_w, _i2f(tris.mat_id)[:, None]], axis=1)
+
+
+def take_cone_rows(cones, rows, aos=None):
+    """ONE consolidated [R, 19] row gather of every cone field the winner-t
+    recompute + Hit assembly need. Random-index gathers on TPU are
+    latency-bound per OP, not per byte: the old path issued ~20 separate
+    [R] gathers (recompute comps, cone_normal, cone_texcoord, enter
+    classification, mat_id, fiber frame) costing ~20 ms each at 1M rays on
+    a 9.4M-row pack (dev_overhead.py); one 76-byte-line gather replaces
+    them all. `aos` is the attach-time precomputed table (bvh.aos_rows) —
+    building it in-graph per bounce is a ~700 MB HBM transient at hair-ball
+    scale; geometry packs are grad-constants (see BVH.aos_rows), so the
+    static copy is exact."""
+    g = (cone_aos(cones) if aos is None else aos)[rows]
+    return {"base": g[:, 0:3], "u": g[:, 3:6], "v": g[:, 6:9],
+            "w": g[:, 9:12], "slope": g[:, 12], "r_base": g[:, 13],
+            "min_d": g[:, 14], "max_d": g[:, 15], "base_d": g[:, 16],
+            "height": g[:, 17], "mat_id": _f2i(g[:, 18]), "_g": g}
+
+
+def take_tri_rows(tris, rows, aos=None):
+    """ONE consolidated [R, 34] row gather for triangles (see
+    take_cone_rows)."""
+    g = (tri_aos(tris) if aos is None else aos)[rows]
+    from ..scene.types import TrianglePack
+    return TrianglePack(
+        v0=g[:, 0:3], v1=g[:, 3:6], v2=g[:, 6:9], n0=g[:, 9:12],
+        n1=g[:, 12:15], n2=g[:, 15:18], uv0=g[:, 18:20], uv1=g[:, 20:22],
+        uv2=g[:, 22:24], fiber_u=g[:, 24:27], fiber_v=g[:, 27:30],
+        fiber_w=g[:, 30:33], mat_id=_f2i(g[:, 33]))
+
+
+def _recompute_t_tri(rp, o, d, t_min, t_best):
+    """Winner-t from a gathered tri row pack (same Möller-Trumbore as the
+    oracle — bit-identical value, with a VJP)."""
+    v0, e1, e2 = rp.v0, rp.v1 - rp.v0, rp.v2 - rp.v0
+    comp = [v0[:, 0:1], v0[:, 1:2], v0[:, 2:3],
+            e1[:, 0:1], e1[:, 1:2], e1[:, 2:3],
+            e2[:, 0:1], e2[:, 1:2], e2[:, 2:3]]
+    return bvh_mod._tri_core(o, d, comp, t_min, t_best)[:, 0]
+
+
+def _recompute_t_cone(rc, o, d, t_min, t_best):
+    """Winner-t from a gathered cone row dict (same KIRK quadratic)."""
+    g = rc["_g"]
+    comp = [g[:, i:i + 1] for i in range(16)]
+    return bvh_mod._cone_core(o, d, comp, t_min, t_best)[:, 0]
 
 
 def _want_pallas_small(r: int, count: int) -> bool:
@@ -540,22 +610,28 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
                 else scene.tri_bvh if stream_tri else None)
     if sort_rays is None:
         sort_rays = r > chunk or sort_bvh is not None
+    # The whole pipeline (traversal, recompute, assembly) runs in SORTED
+    # space and the finished Hit is unsorted once at the end
+    # (_permute_hit): gathers on TPU are latency-bound per OP, so the sort
+    # costs ONE [R,7] gather in and one consolidated gather out instead of
+    # per-field permutes. Kernels get stop_gradient'ed views; recompute/
+    # assembly use the live (differentiable) sorted rays.
     if sort_rays:
         if sort_bvh is not None:
             s_perm, s_inv = _entry_morton_perms(sg(o), sg(d), sg(t_max_arr),
                                                 sg(sort_bvh))
         else:
             s_perm, s_inv = _octant_perms(sg(d), sg(t_max_arr))
-        o_s, d_s, t_s = sg(o)[s_perm], sg(d)[s_perm], sg(t_max_arr)[s_perm]
+        pack7 = jnp.concatenate([o, d, t_max_arr[:, None]], axis=1)[s_perm]
+        o, d, t_max_arr = pack7[:, 0:3], pack7[:, 3:6], pack7[:, 6]
+        cap = t_max_arr[:, None]
     else:
         s_inv = None
-        o_s, d_s, t_s = sg(o), sg(d), sg(t_max_arr)
-
-    def unsort(x):
-        return x if s_inv is None else x[s_inv]
+    o_s, d_s, t_s = sg(o), sg(d), sg(t_max_arr)
 
     t_tri = jnp.full((r,), INF)
     tri_row = jnp.zeros((r,), jnp.int32)
+    tri_rp = None
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)
         if _use_vmem_kernel(scene.tri_bvh, "tri"):
@@ -568,10 +644,9 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
             _, tri_row, found = bvh_mod.traverse(
                 sbvh, o_s, d_s, bvh_mod.tri_leaf_packed(sbvh), t_min,
                 t_s, chunk=chunk, n_alive=n_alive)
-        tri_row = jnp.maximum(unsort(tri_row), 0)
-        found = unsort(found)
-        t_re = _tri_rows_fn(tris)(o, d, tri_row[:, None], t_min,
-                                  t_max_arr)[:, 0]
+        tri_row = jnp.maximum(tri_row, 0)
+        tri_rp = take_tri_rows(tris, tri_row, aos=scene.tri_bvh.aos_rows)
+        t_re = _recompute_t_tri(tri_rp, o, d, t_min, t_max_arr)
         t_tri = jnp.where(found, t_re, INF)
     elif tris.count:  # small BVH-less pack
         if _want_pallas_small(r, int(tris.count)):
@@ -580,8 +655,8 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
             t_k, tri_row = pk.tri_closest(sg(o), sg(d), packed, t_min)
             tri_row = jnp.maximum(tri_row, 0)
             found = t_k < t_max_arr
-            t_re = _tri_rows_fn(tris)(o, d, tri_row[:, None], t_min,
-                                      t_max_arr)[:, 0]
+            tri_rp = take_tri_rows(tris, tri_row)
+            t_re = _recompute_t_tri(tri_rp, o, d, t_min, t_max_arr)
             t_tri = jnp.where(found, t_re, INF)
         else:  # dense all-pairs grid
             tg, _, _, _ = isect.triangle_hit_grid(o, d, tris, t_min, cap)
@@ -590,6 +665,7 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
 
     t_cone = jnp.full((r,), INF)
     cone_row = jnp.zeros((r,), jnp.int32)
+    cone_rc = None
     if scene.cone_bvh is not None:
         sbvh = sg(scene.cone_bvh)
         if _use_vmem_kernel(scene.cone_bvh, "cone"):
@@ -602,10 +678,10 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
             _, cone_row, found_c = bvh_mod.traverse(
                 sbvh, o_s, d_s, bvh_mod.cone_leaf_packed(sbvh), t_min,
                 t_s, chunk=chunk, n_alive=n_alive)
-        cone_row = jnp.maximum(unsort(cone_row), 0)
-        found_c = unsort(found_c)
-        t_re = _cone_rows_fn(cones)(o, d, cone_row[:, None], t_min,
-                                    t_max_arr)[:, 0]
+        cone_row = jnp.maximum(cone_row, 0)
+        cone_rc = take_cone_rows(cones, cone_row,
+                                 aos=scene.cone_bvh.aos_rows)
+        t_re = _recompute_t_cone(cone_rc, o, d, t_min, t_max_arr)
         t_cone = jnp.where(found_c, t_re, INF)
     elif cones.count:
         if _want_pallas_small(r, int(cones.count)):
@@ -614,23 +690,47 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
             t_k, cone_row = pk.cone_closest(sg(o), sg(d), packed, t_min)
             cone_row = jnp.maximum(cone_row, 0)
             found_c = t_k < t_max_arr
-            t_re = _cone_rows_fn(cones)(o, d, cone_row[:, None], t_min,
-                                        t_max_arr)[:, 0]
+            cone_rc = take_cone_rows(cones, cone_row)
+            t_re = _recompute_t_cone(cone_rc, o, d, t_min, t_max_arr)
             t_cone = jnp.where(found_c, t_re, INF)
         else:
             cg, _, _ = isect.cone_hit_grid(o, d, cones, t_min, cap)
             cone_row = jnp.argmin(cg, axis=-1).astype(jnp.int32)
             t_cone = jnp.take_along_axis(cg, cone_row[:, None], axis=-1)[:, 0]
 
-    return _assemble_hit(o, d, scene, t_tri, tri_row, t_cone, cone_row,
-                         t_max_arr)
+    hit = _assemble_hit(o, d, scene, t_tri, tri_row, t_cone, cone_row,
+                        t_max_arr, tri_rp=tri_rp, cone_rc=cone_rc)
+    return hit if s_inv is None else _permute_hit(hit, s_inv)
+
+
+def _permute_hit(hit: bruteforce.Hit, perm) -> bruteforce.Hit:
+    """Permute every Hit field by `perm` through ONE consolidated [R, 23]
+    gather (12 separate field permutes are 12 latency-bound gather ops)."""
+    f32 = jnp.float32
+    g = jnp.concatenate([
+        hit.t[:, None], hit.position, hit.normal, hit.uv,
+        hit.fiber_u, hit.fiber_v, hit.fiber_w,
+        _i2f(hit.prim_type)[:, None], _i2f(hit.prim_id)[:, None],
+        _i2f(hit.mat_id)[:, None],
+        hit.valid.astype(f32)[:, None], hit.enter.astype(f32)[:, None],
+    ], axis=1)[perm]
+    return bruteforce.Hit(
+        t=g[:, 0], position=g[:, 1:4], normal=g[:, 4:7], uv=g[:, 7:9],
+        fiber_u=g[:, 9:12], fiber_v=g[:, 12:15], fiber_w=g[:, 15:18],
+        prim_type=_f2i(g[:, 18]), prim_id=_f2i(g[:, 19]),
+        mat_id=_f2i(g[:, 20]), valid=g[:, 21] > 0.5, enter=g[:, 22] > 0.5)
 
 
 def _assemble_hit(o, d, scene: DeviceScene, t_tri, tri_row, t_cone, cone_row,
-                  t_max) -> bruteforce.Hit:
+                  t_max, tri_rp=None, cone_rc=None) -> bruteforce.Hit:
     """Merge per-pack winners into a full Hit (Intersection.h:11-48 analog).
     Rows index the scene's CURRENT packs (reordered ones when BVHs are
-    attached — perm maps back to original prim ids)."""
+    attached — perm maps back to original prim ids).
+
+    tri_rp / cone_rc: pre-gathered winner row data (take_tri_rows /
+    take_cone_rows) — passed by closest_hit_bvh so the whole assembly runs
+    off ONE consolidated gather per pack kind; gathered here when absent
+    (grid/pallas brute-force callers)."""
     r = o.shape[0]
     tris, cones = scene.tris, scene.cones
     cone_wins = t_cone < t_tri
@@ -651,28 +751,39 @@ def _assemble_hit(o, d, scene: DeviceScene, t_tri, tri_row, t_cone, cone_row,
     prim_id = jnp.zeros((r,), jnp.int32)
 
     if tris.count:
-        tn, tuv, _ = isect.triangle_interpolate(tris, tri_row, position, o, d)
+        if tri_rp is None:
+            tri_rp = take_tri_rows(tris, tri_row)
+        tn, tuv, _ = isect.triangle_interpolate_rows(tri_rp, position, o, d)
         is_tri = prim_type == bruteforce.PRIM_TRI
         n = jnp.where(is_tri[:, None], tn, n)
         uv = jnp.where(is_tri[:, None], tuv, uv)
-        mat_id = jnp.where(is_tri, tris.mat_id[tri_row], mat_id)
-        fu = jnp.where(is_tri[:, None], tris.fiber_u[tri_row], fu)
-        fv = jnp.where(is_tri[:, None], tris.fiber_v[tri_row], fv)
-        fw = jnp.where(is_tri[:, None], tris.fiber_w[tri_row], fw)
+        mat_id = jnp.where(is_tri, tri_rp.mat_id, mat_id)
+        fu = jnp.where(is_tri[:, None], tri_rp.fiber_u, fu)
+        fv = jnp.where(is_tri[:, None], tri_rp.fiber_v, fv)
+        fw = jnp.where(is_tri[:, None], tri_rp.fiber_w, fw)
         orig = (scene.tri_bvh.perm[tri_row] if scene.tri_bvh is not None
                 else tri_row)
         prim_id = jnp.where(is_tri, orig, prim_id)
     if cones.count:
-        cn = isect.cone_normal(cones, cone_row, position)
-        cuv = isect.cone_texcoord(cones, cone_row, position)
+        if cone_rc is None:
+            cone_rc = take_cone_rows(cones, cone_row)
+        cn = isect.cone_normal_rows(cone_rc["v"], cone_rc["base"],
+                                    cone_rc["base_d"], cone_rc["slope"],
+                                    position)
+        cuv = isect.cone_texcoord_rows(cone_rc["base"], cone_rc["u"],
+                                       cone_rc["v"], cone_rc["w"],
+                                       cone_rc["r_base"], cone_rc["slope"],
+                                       cone_rc["height"], position)
         is_cone = prim_type == bruteforce.PRIM_CONE
         n = jnp.where(is_cone[:, None], cn, n)
         uv = jnp.where(is_cone[:, None], cuv, uv)
-        mat_id = jnp.where(is_cone, cones.mat_id[cone_row], mat_id)
-        fu = jnp.where(is_cone[:, None], cones.u[cone_row], fu)
-        fv = jnp.where(is_cone[:, None], cones.v[cone_row], fv)
-        fw = jnp.where(is_cone[:, None], cones.w[cone_row], fw)
-        enter = is_cone & _cone_enter_at(cones, cone_row, o, d, t)
+        mat_id = jnp.where(is_cone, cone_rc["mat_id"], mat_id)
+        fu = jnp.where(is_cone[:, None], cone_rc["u"], fu)
+        fv = jnp.where(is_cone[:, None], cone_rc["v"], fv)
+        fw = jnp.where(is_cone[:, None], cone_rc["w"], fw)
+        enter = is_cone & _cone_enter_rows(
+            cone_rc["base"], cone_rc["u"], cone_rc["v"], cone_rc["w"],
+            cone_rc["slope"], cone_rc["r_base"], o, d, t)
         orig = (scene.cone_bvh.perm[cone_row] if scene.cone_bvh is not None
                 else cone_row)
         prim_id = jnp.where(is_cone, orig, prim_id)
@@ -706,7 +817,8 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
             s_perm, s_inv = _entry_morton_perms(o, d, t_max, sg(sort_bvh))
         else:
             s_perm, s_inv = _octant_perms(d, t_max)
-        o, d, t_max = o[s_perm], d[s_perm], t_max[s_perm]
+        pack7 = jnp.concatenate([o, d, t_max[:, None]], axis=1)[s_perm]
+        o, d, t_max = pack7[:, 0:3], pack7[:, 3:6], pack7[:, 6]
     blocked = jnp.zeros((r,), bool)
     if scene.tri_bvh is not None:
         sbvh = sg(scene.tri_bvh)

@@ -57,9 +57,12 @@ def main():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     t_max = jnp.full((r,), 3.4e38)
 
-    sb = stream.pack_super_boxes(bvh)
-    cb = stream.pack_child_boxes(bvh)
-    prim, k_pad = stream.pack_prim_hbm(bvh, "cone")
+    if bvh.prim_hbm is not None:
+        sb, cb, prim = bvh.sboxes, bvh.cboxes_sf, bvh.prim_hbm
+    else:
+        sb = stream.pack_super_boxes(bvh)
+        cb = stream.pack_child_boxes(bvh)
+        prim, _ = stream.pack_prim_hbm(bvh, "cone")
     print(f"sboxes {sb.shape} cboxes {cb.shape} prim {prim.shape}")
 
     t0 = time.perf_counter()
@@ -68,10 +71,12 @@ def main():
         leaf_k=bvh.leaf_size, ray_tile=args.tile, mxu=args.mxu))
     print(f"stream compile+run {time.perf_counter()-t0:.1f}s")
 
+    # XLA reference needs packed (dropped on TPU; rebuild from prim_hbm)
+    bvh_x = bvh if bvh.packed is not None else bvh.replace(
+        packed=prim[:, :, :bvh.leaf_size])
     if not args.skip_check:
-        # XLA reference
         tx, row_x, found_x = bvh_mod.traverse(
-            bvh, o, d, bvh_mod.cone_leaf_packed(bvh), 1e-4, t_max,
+            bvh_x, o, d, bvh_mod.cone_leaf_packed(bvh_x), 1e-4, t_max,
             chunk=16384)
         found_s, found_x = np.asarray(found_s), np.asarray(found_x)
         row_s, row_x = np.asarray(row_s), np.asarray(row_x)
@@ -97,7 +102,7 @@ def main():
         np.asarray(out[0])[:1]
 
     def run_xla():
-        out = bvh_mod.traverse(bvh, o, d, bvh_mod.cone_leaf_packed(bvh),
+        out = bvh_mod.traverse(bvh_x, o, d, bvh_mod.cone_leaf_packed(bvh_x),
                                1e-4, t_max, chunk=1024)
         np.asarray(out[0])[:1]
 
