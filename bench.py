@@ -197,10 +197,15 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
         _jax.block_until_ready(b.prim_hbm if b.packed is None else b.packed)
     build_s = time.perf_counter() - t0
     scene = to_device(scene)
-    # chunk: 2048 for the fur patch (VMEM-kernel path), 1024 for the hair
-    # ball (XLA path; measured 0.444M vs 0.429M rays/s at 2048, round 3)
-    chunk = 1024 if name == "hair_ball" else 2048
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=chunk, compact=True)
+    # hair ball: streaming-kernel path — compaction is pure overhead there
+    # (dead tiles already skip; r4 A/B: compact=False 1.66M vs True 1.36M
+    # rays/s); fur patch: VMEM-kernel path, compact=True chunk=2048 (r3)
+    if name == "hair_ball":
+        cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=1024,
+                           compact=False)
+    else:
+        cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048,
+                           compact=True)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
