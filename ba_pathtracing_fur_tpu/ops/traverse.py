@@ -353,14 +353,12 @@ def _octant_perms(d, t_max):
 
 
 # VMEM-resident Pallas traversal policy (ops/pallas/traverse.py): on TPU,
-# CONE packs whose packed leaf geometry fits the kernel's VMEM budget
-# traverse entirely on-chip. Data-driven kind split (end-to-end A/B on the
-# bench chip, fur_patch/tri_100k renders): the kernel's shared broadcast
-# schedule wins +20% on fur (1.10M vs 0.92M rays/s — many small clusters,
-# expensive cone math amortized over the tile) but loses ~7% on triangles
-# (1.41M vs 1.51M — incoherent bounce tiles pay the union of clusters,
-# and the tri XLA path's big-leaf gathers are already near bandwidth).
-# Tri-state override for A/B (None = auto).
+# packs whose packed leaf geometry fits the kernel's VMEM budget traverse
+# entirely on-chip. Round 3 policy-disabled it for triangles (-7% then);
+# that was an artifact of the 128-lane-padded [R,3]/[R,1] kernel I/O —
+# with the component-major I/O + entry-morton sort the kernel wins BOTH
+# kinds (r4 A/B, bench chip: tri_100k 4.61M vs 1.58M rays/s XLA;
+# fur_patch cone path ~1.9M vs 1.09M r3). Tri-state override (None=auto).
 _VMEM_TRAVERSAL: bool | None = None
 
 
@@ -372,7 +370,7 @@ def enable_vmem_traversal(on: bool | None = True) -> None:
 def _use_vmem_kernel(bvh, kind: str = "cone") -> bool:
     if _VMEM_TRAVERSAL is not None:
         return _VMEM_TRAVERSAL and bvh is not None and bvh.packed is not None
-    if jax.default_backend() != "tpu" or kind != "cone":
+    if jax.default_backend() != "tpu":
         return False
     from .pallas import traverse as ptrav
     return ptrav.vmem_eligible(bvh)
@@ -601,13 +599,16 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     cap = t_max_arr[:, None]
 
-    # Sort-key choice: the streaming kernel's shared schedule needs
-    # spatially-tight tiles (entry-morton); the XLA/VMEM paths use the
-    # cheaper octant grouping and only when the wavefront spans chunks.
+    # Sort-key choice: the Pallas kernels' shared schedules pay the
+    # per-tile UNION of visited clusters, so their tiles need to be
+    # spatially tight (entry-morton); the XLA path uses the cheaper
+    # octant grouping and only when the wavefront spans chunks.
     stream_cone = _use_stream_kernel(scene.cone_bvh, "cone")
     stream_tri = _use_stream_kernel(scene.tri_bvh, "tri")
-    sort_bvh = (scene.cone_bvh if stream_cone
-                else scene.tri_bvh if stream_tri else None)
+    kernel_cone = stream_cone or _use_vmem_kernel(scene.cone_bvh, "cone")
+    kernel_tri = stream_tri or _use_vmem_kernel(scene.tri_bvh, "tri")
+    sort_bvh = (scene.cone_bvh if kernel_cone
+                else scene.tri_bvh if kernel_tri else None)
     if sort_rays is None:
         sort_rays = r > chunk or sort_bvh is not None
     # The whole pipeline (traversal, recompute, assembly) runs in SORTED
@@ -808,8 +809,10 @@ def any_hit_bvh(o, d, scene: DeviceScene, t_max, t_min=1e-4,
     r = o.shape[0]
     stream_cone = _use_stream_kernel(scene.cone_bvh, "cone")
     stream_tri = _use_stream_kernel(scene.tri_bvh, "tri")
-    sort_bvh = (scene.cone_bvh if stream_cone
-                else scene.tri_bvh if stream_tri else None)
+    kernel_cone = stream_cone or _use_vmem_kernel(scene.cone_bvh, "cone")
+    kernel_tri = stream_tri or _use_vmem_kernel(scene.tri_bvh, "tri")
+    sort_bvh = (scene.cone_bvh if kernel_cone
+                else scene.tri_bvh if kernel_tri else None)
     if sort_rays is None:
         sort_rays = r > chunk or sort_bvh is not None
     if sort_rays:

@@ -161,10 +161,11 @@ def bench_tri_scene(smoke, peak):
     scene = traverse.attach_bvh(scene, method="sah")
     build_s = time.perf_counter() - t0  # host SAH + reorder/pack (numpy)
     scene = to_device(scene)
-    # chunk 2048 + compact: measured best on BVH scenes (round-3 sweep:
-    # 1.52M vs 1.18M at chunk 4096 no-compact); smaller chunks cut lockstep
-    # divergence, compaction keeps dead lanes out of the traversal
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048, compact=True)
+    # VMEM-kernel path (r4: tri kernel re-enabled after the I/O layout
+    # fix): compact=False measured best — 4.61M vs 3.45M rays/s compacted
+    # (dead tiles already skip inside the kernel; the per-bounce state
+    # permutes were pure overhead)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048, compact=False)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
@@ -197,15 +198,12 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
         _jax.block_until_ready(b.prim_hbm if b.packed is None else b.packed)
     build_s = time.perf_counter() - t0
     scene = to_device(scene)
-    # hair ball: streaming-kernel path — compaction is pure overhead there
-    # (dead tiles already skip; r4 A/B: compact=False 1.66M vs True 1.36M
-    # rays/s); fur patch: VMEM-kernel path, compact=True chunk=2048 (r3)
-    if name == "hair_ball":
-        cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=1024,
-                           compact=False)
-    else:
-        cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=2048,
-                           compact=True)
+    # Both fur configs run Pallas kernel paths (fur patch: VMEM-resident;
+    # hair ball: DMA-streaming) where per-bounce compaction is pure
+    # overhead — dead tiles already skip inside the kernel (r4 A/B:
+    # hair ball 1.66M vs 1.36M rays/s, fur patch 4.04M vs 2.97M).
+    chunk = 1024 if name == "hair_ball" else 2048
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=chunk, compact=False)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
