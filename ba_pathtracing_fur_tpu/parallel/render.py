@@ -68,6 +68,37 @@ def pad_scene_geo(scene: DeviceScene, n_geo: int) -> DeviceScene:
     )
 
 
+def scene_geo_bytes(scene: DeviceScene) -> int:
+    """Bytes of per-device primitive-pack storage (the arrays that the
+    "geo" axis shards). BVH layouts scale with the same factor, so this is
+    the capacity-planning number for SURVEY §2.4's sharded-scene row."""
+    total = 0
+    for pack in (scene.tris, scene.cones):
+        for leaf in jax.tree.leaves(pack):
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def required_geo(scene: DeviceScene, per_device_budget_bytes: int,
+                 max_geo: int = 64) -> int:
+    """Smallest power-of-two geo factor whose per-device pack slice fits
+    `per_device_budget_bytes`. THE point of the geo axis: it is a CAPACITY
+    axis, not a speed axis — at scales where one device holds the scene,
+    sharding only adds the cross-shard hit merge (measured slowdown,
+    out/SCALING.json); when the scene does NOT fit, it is what makes the
+    render possible at all (SURVEY §2.4). Raises if even max_geo shards
+    don't fit."""
+    need = scene_geo_bytes(scene)
+    g = 1
+    while need > per_device_budget_bytes * g:
+        g *= 2
+        if g > max_geo:
+            raise ValueError(
+                f"scene packs ({need / 1e6:.0f} MB) exceed "
+                f"{max_geo} x {per_device_budget_bytes / 1e6:.0f} MB")
+    return g
+
+
 def scene_partition_specs(scene: DeviceScene, geo_axis: str = GEO_AXIS):
     """PartitionSpec pytree matching `scene`: primitive packs sharded on
     their leading dim over `geo_axis`, everything else replicated."""
@@ -174,9 +205,24 @@ def _squeeze_local_bvhs(scene: DeviceScene) -> DeviceScene:
 
 def _merge_hits_over_geo(hit: bruteforce.Hit, axis: str) -> bruteforce.Hit:
     """Min-reduction with payload over the geo axis: gather every shard's
-    nearest hit and keep the globally nearest per ray."""
+    nearest hit and keep the globally nearest per ray.
+
+    Tie-break parity with the single-device merge (_assemble_hit's
+    `cone_wins = t_cone < t_tri`): at EQUAL t a triangle beats a cone.
+    A plain argmin over shards picks the lowest shard instead, which
+    inverts that rule whenever the tied tri and cone live in different
+    shards — real at fur contact points, where fiber bases lie exactly on
+    their ground triangles (one-pixel diffs at ~100+ fibers, r4 finding).
+    Same-type ties keep lowest-shard = lowest-global-index, also matching
+    the single-device argmin."""
     g = jax.lax.all_gather(hit, axis)  # [G, R, ...]
-    win = jnp.argmin(g.t, axis=0)  # [R]
+    tmin = jnp.min(g.t, axis=0)  # [R]
+    cand = g.t == tmin[None, :]  # [G, R] shards at the min
+    tri_cand = cand & (g.prim_type != bruteforce.PRIM_CONE)
+    use_tri = jnp.any(tri_cand, axis=0)
+    # argmax of bool = FIRST True = lowest shard among the candidates
+    win = jnp.where(use_tri, jnp.argmax(tri_cand, axis=0),
+                    jnp.argmax(cand, axis=0))
     r = win.shape[0]
     rows = jnp.arange(r)
 

@@ -62,7 +62,7 @@ def main() -> None:
     scene = to_device(scene)
     stats["n_cones"] = int(scene.cones.count)
 
-    cfg = RenderConfig(depth=4, spp=spp, ray_chunk=2048, compact=True)
+    cfg = RenderConfig(depth=4, spp=spp, ray_chunk=2048, compact=False)  # r4: kernel path, compaction is overhead
     key = jax.random.key(0)
 
     # --- one differentiable step on the fur lobe parameters at full scale

@@ -99,3 +99,45 @@ def test_geo_sharding_with_per_shard_bvhs():
     img = render_image_sharded(sharded, camera, key, cfg, mesh)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_geo_capacity_axis():
+    """The geo axis is a CAPACITY axis (SURVEY §2.4): with a per-device
+    pack budget the whole scene does not fit on one device, required_geo
+    picks the shard factor whose slices DO fit, and the geo-sharded render
+    still matches the unsharded reference exactly."""
+    from ba_pathtracing_fur_tpu.parallel.render import (
+        required_geo, scene_geo_bytes)
+
+    # fibers_per_face=16: densest configuration that is bit-exact between
+    # compilations on this scene/seed — denser patches include a grazing
+    # cone ray whose b^2-a*c discriminant flips hit/miss under FMA
+    # contraction (eager-vs-jit differs identically WITHOUT any sharding;
+    # r4 analysis), which is compiler sensitivity, not a merge bug.
+    scene, camera = fur_patch(resolution=(16, 16), fibers_per_face=16,
+                              fiber_verts=4)
+    need = scene_geo_bytes(scene)
+    budget = need // 2 + 1024  # one device cannot hold the packs...
+    assert need > budget
+    g = required_geo(scene, budget)
+    assert g == 2  # ...two shards can
+    per_shard = scene_geo_bytes(
+        jax.tree.map(lambda x: x, scene).replace(
+            tris=jax.tree.map(lambda x: x[: max(scene.tris.count // g, 1)],
+                              scene.tris),
+            cones=jax.tree.map(lambda x: x[: scene.cones.count // g],
+                               scene.cones)))
+    assert per_shard <= budget
+
+    key = jax.random.key(5)
+    cfg = RenderConfig(depth=2, spp=1, ray_chunk=1024)
+    ref = render_image(scene, camera, key, cfg)
+    mesh = make_mesh(8, geo=g)
+    img = render_image_sharded(scene, camera, key, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    # a scene too big for max_geo budgets raises loudly
+    import pytest
+    with pytest.raises(ValueError):
+        required_geo(scene, 1024, max_geo=4)
