@@ -57,10 +57,21 @@ STREAM_RAY_TILE = 128
 STREAM_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def pack_prim_hbm(bvh, kind: str):
+def pack_prim_hbm(bvh, kind: str, dtype=jnp.float32):
     """[C, W, K_pad] leaf geometry for child-granularity DMA, K padded to
     a multiple of 128 so each block is one aligned VMEM destination.
-    Padding columns are inert (zero tris: det==0; cones: min_d>max_d)."""
+    Padding columns are inert (zero tris: det==0; cones: min_d>max_d).
+
+    dtype=bfloat16 halves the DMA bytes (the r3-carryover bandwidth
+    experiment, re-aimed at the streaming kernel since the XLA gather
+    path it originally targeted is no longer the hot path). Measured on
+    the 9.4M-cone hair ball, 1M sorted primaries (out/AB_BF16.json):
+    3% SLOWER (358 -> 369 ms; the 8 KB child DMAs are latency-bound and
+    fully hidden behind the prefetch pipeline, so halving their bytes
+    buys nothing and the in-kernel upcast costs) and 40% of winner rows
+    drift vs the f32 oracle (the thin-fiber quadratic is catastrophically
+    cancelled at 8-bit mantissas). Kept as an opt-in negative result,
+    default f32."""
     packed = jnp.asarray(bvh.packed)
     c, w, k = packed.shape
     k_pad = -(-k // 128) * 128
@@ -69,7 +80,7 @@ def pack_prim_hbm(bvh, kind: str):
         if kind == "cone":
             packed = packed.at[:, 14, k:].set(1.0)   # min_d
             packed = packed.at[:, 15, k:].set(-1.0)  # max_d
-    return packed, k_pad
+    return packed.astype(dtype), k_pad
 
 
 def pack_super_boxes(bvh):
@@ -303,7 +314,8 @@ def _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k, k_pad,
             # --- intersect the fetched block ---
             @pl.when(has_c)
             def _():
-                blk = jnp.where(use_slot == 0, blk_ref[0], blk_ref[1])
+                blk = jnp.where(use_slot == 0, blk_ref[0],
+                                blk_ref[1]).astype(jnp.float32)
                 ctn = childt_ref[:]
                 ej = jnp.max(jnp.where(col_f == c_loc, ctn, -_INF), axis=1,
                              keepdims=True)  # [T,1] = childt[:, c_loc]
@@ -440,7 +452,7 @@ def traverse_stream(o, d, sboxes, cboxes, prim_hbm, t_max, *, kind: str,
             jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, width, k_pad), jnp.float32),
+            pltpu.VMEM((2, width, k_pad), prim_hbm.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((ray_tile, n_sup), jnp.float32),
             pltpu.VMEM((ray_tile, fanout), jnp.float32),
