@@ -54,6 +54,13 @@ def load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.median_split.restype = None
+        try:  # ABI >= 2 (older cached .so lacks it; recompile handles mtime)
+            lib.ranges_to_perm.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            lib.ranges_to_perm.restype = None
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -77,3 +84,21 @@ def median_split(centroids: np.ndarray, n_leaves: int):
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return order, bounds
+
+
+def ranges_to_perm(order: np.ndarray, bounds: np.ndarray, n_leaves: int,
+                   leaf_size: int):
+    """Threaded C++ scatter of median_split ranges into padded leaf slots
+    ([n_leaves*leaf_size] int64, -1 pads), or None without the library."""
+    lib = load()
+    if lib is None or not hasattr(lib, "ranges_to_perm"):
+        return None
+    order = np.ascontiguousarray(order, np.int64)
+    bounds = np.ascontiguousarray(bounds, np.int64)
+    perm = np.empty(n_leaves * leaf_size, np.int64)
+    lib.ranges_to_perm(
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n_leaves), ctypes.c_int64(leaf_size),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return perm

@@ -85,6 +85,34 @@ void median_split(const float* centroids, int64_t n, int64_t n_leaves,
   split_range(ctx, 0, n, n_leaves, bounds, 0, budget);
 }
 
-int native_bvh_abi_version() { return 1; }
+// Scatter per-leaf index ranges into padded leaf slots (the C++ twin of
+// ops/bvh._ranges_to_perm — the numpy repeat+fancy-index version costs
+// 1.4-4.6 s at 9M prims under tunnel-transfer contention; this is one
+// threaded linear pass). perm must hold n_leaves*leaf_size int64; slots
+// past a leaf's count are set to -1.
+void ranges_to_perm(const int64_t* order, const int64_t* bounds,
+                    int64_t n_leaves, int64_t leaf_size, int64_t* perm) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw > 1 ? hw : 1;
+  if (n_threads > n_leaves) n_threads = 1;
+  int64_t per = (n_leaves + n_threads - 1) / n_threads;
+  std::vector<std::thread> pool;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t ls = t * per, le = std::min(ls + per, n_leaves);
+    if (ls >= le) break;
+    pool.emplace_back([=] {
+      for (int64_t leaf = ls; leaf < le; ++leaf) {
+        int64_t s = bounds[leaf], e = bounds[leaf + 1];
+        int64_t* dst = perm + leaf * leaf_size;
+        int64_t cnt = e - s;
+        for (int64_t i = 0; i < cnt; ++i) dst[i] = order[s + i];
+        for (int64_t i = cnt; i < leaf_size; ++i) dst[i] = -1;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+int native_bvh_abi_version() { return 2; }
 
 }  // extern "C"

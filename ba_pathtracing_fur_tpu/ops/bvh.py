@@ -255,6 +255,10 @@ def _ranges_to_perm(order, bounds, n_leaves, leaf_size):
     counts = np.diff(bounds)
     if counts.max(initial=0) > leaf_size:
         raise AssertionError("median split produced oversized leaf")
+    from .. import native
+    perm = native.ranges_to_perm(order, bounds, n_leaves, leaf_size)
+    if perm is not None:  # threaded C++ pass (1.4-4.6 s -> ~0.2 s at 9M)
+        return perm
     n = order.shape[0]
     leaf_of = np.repeat(np.arange(n_leaves, dtype=np.int64), counts)
     within = np.arange(n, dtype=np.int64) - bounds[leaf_of]

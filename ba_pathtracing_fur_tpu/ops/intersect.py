@@ -238,6 +238,21 @@ def triangle_aabbs(tris: TrianglePack):
     return pts.min(axis=1), pts.max(axis=1)
 
 
+def cone_centroids(cones: ConePack):
+    """AABB centroids of cone_aabbs in closed form: 0.5*(lo+hi) =
+    base + 0.5*height*v exactly — the radius terms cancel, so the split
+    stage of the at-scale build (host side) pays ONE fused pass over the
+    pack instead of the full 11-pass AABB evaluation (2.8-3.6 s of the
+    9M-cone split was this AABB midpoint; this is ~0.2 s). Works on
+    numpy and jnp packs alike (pure arithmetic)."""
+    return cones.base + 0.5 * cones.height[:, None] * cones.v
+
+
+def triangle_centroids(tris: TrianglePack):
+    lo, hi = triangle_aabbs(tris)
+    return 0.5 * (lo + hi)
+
+
 # ---------------------------------------------------------------------------
 # AABB slab test (for BVH)
 # ---------------------------------------------------------------------------

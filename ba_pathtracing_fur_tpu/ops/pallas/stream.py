@@ -439,7 +439,7 @@ def traverse_stream(o, d, sboxes, cboxes, prim_hbm, t_max, *, kind: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_sup, 6, fanout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # prim stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # prim stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, ray_tile), lambda i: (0, i),

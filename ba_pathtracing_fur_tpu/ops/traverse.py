@@ -120,7 +120,7 @@ def _pack_fingerprint(pack, n_leaves: int, k: int) -> str:
     import numpy as np
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(f"{type(pack).__name__}:{pack.count}:{n_leaves}:{k}:v1".encode())
+    h.update(f"{type(pack).__name__}:{pack.count}:{n_leaves}:{k}:v2".encode())
     for leaf in jax.tree.leaves(pack):
         a = np.asarray(leaf)
         h.update(str(a.shape).encode())
@@ -141,14 +141,16 @@ def _perm_cache_path(fingerprint: str):
 
 
 def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
-                       leaf_target=256, use_cache: bool = True):
+                       leaf_target=256, use_cache: bool = True,
+                       centroid_fn=None):
     """Device-side median build for one pack (see attach_bvh). Returns
     (reordered device pack, device BVH) or None to fall back to host.
 
     Round-4 build pipeline (VERDICT r3 missing #1: 84-119 s at 9.4M cones,
     7x split variance): the host->device upload is dispatched ASYNC and the
-    whole host side — AABB centroids via a CPU-backend jit, the native C++
-    median split, the perm scatter — runs while the tunnel streams, so
+    whole host side — closed-form numpy centroids, the native C++
+    median split, the threaded C++ perm scatter — runs while the tunnel
+    streams, so
     "split" measures pure host compute (no tunnel in the stage ⇒ no tunnel
     variance in the number) and is usually fully hidden under the transfer.
     The centroid round trip (113 MB device->host pull at 9.4M cones, the
@@ -161,6 +163,11 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
     import numpy as np
     from .. import native
     from ..scene.types import to_device
+
+    if centroid_fn is None:
+        def centroid_fn(p):
+            lo, hi = aabb_fn(p)
+            return 0.5 * (lo + hi)
 
     n = pack.count
     k = leaf_size or auto_leaf_size(n, leaf_target)
@@ -185,12 +192,12 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
     cached = perm is not None
 
     if perm is None:
-        # centroids on the HOST (CPU-backend jit of the same AABB formula):
-        # the split consumes only comparisons, so it never needs the device
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            bmin_h, bmax_h = jax.jit(aabb_fn)(pack)
-            cent = np.asarray(0.5 * (bmin_h + bmax_h))
+        # centroids on the HOST in numpy (closed-form AABB midpoints —
+        # isect.cone_centroids/triangle_centroids): the split consumes only
+        # comparisons, so it never needs the device nor the full AABB pass
+        # (the old CPU-backend jit of aabb_fn cost 2.5-4.9 s of the 9M-cone
+        # split incl. its per-process XLA compile; this is ~0.2 s)
+        cent = np.asarray(centroid_fn(pack), np.float32)
         res = native.median_split(cent, n_leaves)
         if res is None:
             return None
@@ -276,7 +283,8 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
     if tris.count >= min_prims:
         out = (_attach_one_device(tris, isect.triangle_aabbs,
                                   bvh_mod.reorder_tris, bvh_mod.pack_tris,
-                                  leaf_size, fanout, TRI_LEAF_TARGET)
+                                  leaf_size, fanout, TRI_LEAF_TARGET,
+                                  centroid_fn=isect.triangle_centroids)
                if want_device(tris.count) else None)
         if out is not None:
             tris, tri_bvh = out
@@ -291,7 +299,8 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
     if cones.count >= min_prims:
         out = (_attach_one_device(cones, isect.cone_aabbs,
                                   bvh_mod.reorder_cones, bvh_mod.pack_cones,
-                                  leaf_size, fanout, CONE_LEAF_TARGET)
+                                  leaf_size, fanout, CONE_LEAF_TARGET,
+                                  centroid_fn=isect.cone_centroids)
                if want_device(cones.count) else None)
         if out is not None:
             cones, cone_bvh = out
