@@ -131,7 +131,14 @@ def _cone_block_mxu(o, d, blk, t_min):
     Same formula as _cone_block / ops.bvh._cone_core; the matmul's
     accumulation order differs in ulps from the VPU mul-add chain, so
     near-tie winners can flip vs the XLA traversal (the dispatch recomputes
-    the winner's t exactly, erasing the t difference downstream)."""
+    the winner's t exactly, erasing the t difference downstream).
+
+    MEASURED TIE, kept off by default: 165.8 ms vs the VPU block's
+    164.2 ms on the 1.8M-cone hair ball (512^2 primaries, tile 128,
+    dev_stream_test.py, TPU v5e) — per visited child the contraction is
+    only [128,3]x[3,384], far below MXU amortization, and the kernel is
+    DMA/schedule-bound anyway. The knob stays for re-testing on parts
+    with wider tiles/leaves where the balance could flip."""
     k = blk.shape[1]
     bx, by, bz = blk[0:1, :], blk[1:2, :], blk[2:3, :]
     ux, uy, uz = blk[3:4, :], blk[4:5, :], blk[5:6, :]

@@ -179,6 +179,7 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
 
     t0 = time.perf_counter()
     dev = to_device(pack)  # async: tunnel streams during the host split
+    t_disp = time.perf_counter()
 
     perm = None
     cache_file = None
@@ -240,6 +241,10 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
     np.asarray(jax.jit(lambda x: jnp.sum(x.reshape(-1)[:1]))(packed))
     LAST_BUILD_STATS.clear()
     LAST_BUILD_STATS.update(
+        # dispatch = the to_device staging serialization (tunnel-side, the
+        # irreducibly variable term on shared links); split's remainder is
+        # pure host compute (centroids + C++ median + C++ perm scatter)
+        dispatch=round(t_disp - t0, 2),
         split=round(t_host - t0, 2), transfer=round(t_up - t_host, 2),
         device=round(time.perf_counter() - t_up, 2), perm_cached=cached)
     return rp, bvh
