@@ -34,7 +34,7 @@ def main() -> None:
 
     from ba_pathtracing_fur_tpu.utils.report import RenderReport as Report
 
-    rep = Report(title="ba_pathtracing_fur_tpu — round 3")
+    rep = Report(title="ba_pathtracing_fur_tpu — round 4")
 
     for png, label in [("flagship_hair_ball.png", "flagship 1M-fiber ball"),
                        ("hair_ball.png", "hair ball (r2)"),
@@ -51,8 +51,24 @@ def main() -> None:
         rep.add_panel("flagship (BASELINE config 5)", {
             k: flag[k] for k in ("fibers", "spp", "samples_done",
                                  "render_wall_s", "rays_per_s",
-                                 "bvh_build_s", "grad_step_s", "grad_norms")
+                                 "bvh_build_s", "bvh_build_stages",
+                                 "grad_step_s", "grad_norms")
             if k in flag})
+
+    bb = _load("BUILD_BENCH.json")
+    if bb:
+        rep.add_panel("BVH build @ 9M cones (stages, s)", {
+            f"build{i}": b for i, b in enumerate(bb.get("builds", []))
+        } | {
+            f"cached{i}": b for i, b in enumerate(bb.get("cached_builds", []))
+        })
+
+    bf = _load("AB_BF16.json")
+    if bf:
+        rep.add_panel("bf16 streaming-DMA A/B", {
+            "f32": f'{bf["f32"]["rays_per_s"]/1e6:.2f}M rays/s',
+            "bf16": f'{bf["bf16"]["rays_per_s"]/1e6:.2f}M rays/s',
+            "verdict": bf["verdict"].split(".")[0]})
 
     base = _load("CPU_BASELINE.json")
     if base:
