@@ -67,10 +67,11 @@ def gather_materials(materials: MaterialTable, mat_id, uv=None, textures=None,
     """Fetch the material row per ray; resolve textured parameter slots
     (Material::fetchParameterColor / fetchParameterFloat equivalents,
     Material.h:153-216). A color-slot texture REPLACES the value; a
-    float-slot texture resolves to the length of the fetched RGB
-    (Material.cpp:15-23 — the reference takes length of RGBA; our atlas is
-    RGB, so alpha is dropped). normal/bump textures are carried by the
-    scene but not fetched here — no reference render path consumes them.
+    float-slot texture resolves to the glm::length of the fetched RGBA
+    (Material.cpp:15-23 — the atlas carries alpha, defaulting to 1 for
+    alpha-less sources, exactly the reference's 4-component length).
+    normal/bump textures are carried by the scene but not fetched here —
+    no reference render path consumes them.
 
     `tex_slots` statically gates which slots pay the bilinear fetch (pass
     scene.tex_slots — the slots actually textured in the scene)."""
@@ -90,7 +91,8 @@ def gather_materials(materials: MaterialTable, mat_id, uv=None, textures=None,
 
         def resolve_float(tex_col, value):
             tex_id = tex_col[mat_id]
-            c = fetch_bilinear(textures, jnp.maximum(tex_id, 0), uv)
+            c = fetch_bilinear(textures, jnp.maximum(tex_id, 0), uv,
+                               channels=4)
             return jnp.where(tex_id >= 0,
                              jnp.sqrt(jnp.sum(c * c, axis=-1)), value)
 

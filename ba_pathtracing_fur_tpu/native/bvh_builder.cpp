@@ -104,7 +104,11 @@ void ranges_to_perm(const int64_t* order, const int64_t* bounds,
       for (int64_t leaf = ls; leaf < le; ++leaf) {
         int64_t s = bounds[leaf], e = bounds[leaf + 1];
         int64_t* dst = perm + leaf * leaf_size;
+        // Clamp: an oversized leaf (caller picked leaf_size too small) or
+        // non-monotonic bounds must not write outside this leaf's slot.
         int64_t cnt = e - s;
+        if (cnt < 0) cnt = 0;
+        if (cnt > leaf_size) cnt = leaf_size;
         for (int64_t i = 0; i < cnt; ++i) dst[i] = order[s + i];
         for (int64_t i = cnt; i < leaf_size; ++i) dst[i] = -1;
       }
@@ -113,6 +117,6 @@ void ranges_to_perm(const int64_t* order, const int64_t* bounds,
   for (auto& th : pool) th.join();
 }
 
-int native_bvh_abi_version() { return 2; }
+int native_bvh_abi_version() { return 3; }
 
 }  // extern "C"

@@ -64,11 +64,13 @@ def main() -> None:
         })
 
     bf = _load("AB_BF16.json")
-    if bf:
+    # .get defaults: a partial/interrupted AB_BF16.json must not take the
+    # whole report down with a KeyError
+    if bf and "f32" in bf and "bf16" in bf:
         rep.add_panel("bf16 streaming-DMA A/B", {
-            "f32": f'{bf["f32"]["rays_per_s"]/1e6:.2f}M rays/s',
-            "bf16": f'{bf["bf16"]["rays_per_s"]/1e6:.2f}M rays/s',
-            "verdict": bf["verdict"].split(".")[0]})
+            "f32": f'{bf["f32"].get("rays_per_s", 0)/1e6:.2f}M rays/s',
+            "bf16": f'{bf["bf16"].get("rays_per_s", 0)/1e6:.2f}M rays/s',
+            "verdict": bf.get("verdict", "?").split(".")[0]})
 
     base = _load("CPU_BASELINE.json")
     if base:

@@ -106,9 +106,40 @@ def test_gather_materials_resolves_slots():
     np.testing.assert_allclose(mp.diffuse[0], (0.5, 0.5, 0.5), atol=1e-6)
     np.testing.assert_allclose(mp.diffuse[1], (1.0, 0.0, 0.0), atol=1e-6)
     np.testing.assert_allclose(mp.specular[1], (0.0, 0.6, 0.0), atol=1e-6)
-    # float slot = |rgb| (Material.cpp:20-23 length semantics)
-    assert abs(float(mp.roughness[1]) - 0.6) < 1e-5
+    # float slot = |rgba| (Material.cpp:20-23 glm::length of the 4-vector;
+    # an alpha-less source stores alpha=1, so the reference-parity length
+    # of (0, 0.6, 0, 1) is sqrt(0.36 + 1))
+    assert abs(float(mp.roughness[1]) - np.sqrt(0.6 ** 2 + 1.0)) < 1e-5
     assert abs(float(mp.roughness[0]) - 0.2) < 1e-6
+
+
+def test_alpha_texture_float_slot_length():
+    """RGBA atlas (Texture.h:25-90 channels 1-4): a float-slot fetch takes
+    the length of the full RGBA like Material.cpp:15-23; a color-slot fetch
+    returns RGB unchanged by alpha."""
+    rgba = np.zeros((4, 4, 4), np.float32)
+    rgba[..., 0] = 0.3  # R
+    rgba[..., 3] = 0.4  # A
+    atlas = build_atlas([rgba])
+    assert atlas.images.shape[-1] == 4
+    mats = make_material_table([
+        dict(name="m", diffuse=(0.9, 0.9, 0.9), diffuse_tex=0,
+             roughness=0.5, roughness_tex=0),
+    ])
+    mat_id = jnp.zeros((1,), jnp.int32)
+    uv = jnp.full((1, 2), 0.5, jnp.float32)
+    mp = bsdf_mod.gather_materials(mats, mat_id, uv, atlas,
+                                   ("diffuse", "roughness"))
+    np.testing.assert_allclose(mp.diffuse[0], (0.3, 0.0, 0.0), atol=1e-6)
+    assert abs(float(mp.roughness[0]) - 0.5) < 1e-6  # |(.3,0,0,.4)| = 0.5
+    # grey+alpha (2-channel) images broadcast grey to RGB and keep alpha
+    ga = np.zeros((2, 2, 2), np.float32)
+    ga[..., 0] = 0.6
+    ga[..., 1] = 0.8
+    at2 = build_atlas([ga])
+    got = np.asarray(fetch_bilinear(at2, jnp.zeros((1,), jnp.int32), uv,
+                                    channels=4))
+    np.testing.assert_allclose(got[0], (0.6, 0.6, 0.6, 0.8), atol=1e-6)
 
 
 def test_textured_render_differs_from_flat(textured_obj):
