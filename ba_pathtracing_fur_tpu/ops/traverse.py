@@ -146,7 +146,8 @@ def _perm_cache_path(fingerprint: str):
 
 def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
                        leaf_target=256, use_cache: bool = True,
-                       centroid_fn=None):
+                       centroid_fn=None, host_centroids=None,
+                       fingerprint=None):
     """Device-side median build for one pack (see attach_bvh). Returns
     (reordered device pack, device BVH) or None to fall back to host.
 
@@ -177,8 +178,10 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
     k = leaf_size or auto_leaf_size(n, leaf_target)
     n_leaves = bvh_mod._next_pow2(max(-(-n // k), 1))
     # only at-scale builds are worth disk round trips (and test scenes
-    # shouldn't litter the cache)
-    use_cache = (use_cache and n >= _DEVICE_BUILD_MIN
+    # shouldn't litter the cache) — unless the caller supplied an explicit
+    # fingerprint (on-device generation: the key is free, no pack hashing)
+    use_cache = (use_cache
+                 and (n >= _DEVICE_BUILD_MIN or fingerprint is not None)
                  and not os.environ.get("BAPT_NO_BVH_CACHE"))
 
     t0 = time.perf_counter()
@@ -188,7 +191,11 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
     perm = None
     cache_file = None
     if use_cache:
-        cache_file = _perm_cache_path(_pack_fingerprint(pack, n_leaves, k))
+        if fingerprint is not None:
+            fp = f"{fingerprint}_{n_leaves}x{k}"
+        else:
+            fp = _pack_fingerprint(pack, n_leaves, k)
+        cache_file = _perm_cache_path(fp)
         if os.path.exists(cache_file):
             try:
                 perm = np.load(cache_file)["perm"].astype(np.int64)
@@ -205,8 +212,13 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
         # Force numpy leaves first: if the caller attached after to_device,
         # pure-jnp centroid math would silently run on the accelerator and
         # pull the [N,3] result back — the round trip this path removed.
-        host_pack = jax.tree.map(np.asarray, pack)
-        cent = np.asarray(centroid_fn(host_pack), np.float32)
+        # `host_centroids` (on-device generation) skips even that: the
+        # caller recomputed centroids closed-form from the RNG draws.
+        if host_centroids is not None:
+            cent = np.asarray(host_centroids, np.float32)
+        else:
+            host_pack = jax.tree.map(np.asarray, pack)
+            cent = np.asarray(centroid_fn(host_pack), np.float32)
         res = native.median_split(cent, n_leaves)
         if res is None:
             return None
@@ -261,7 +273,8 @@ def _attach_one_device(pack, aabb_fn, reorder_fn, pack_fn, leaf_size, fanout,
 def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
                method: str = "median", min_prims: int = 2048,
                fanout: int | None = None,
-               on_device: bool | None = None) -> DeviceScene:
+               on_device: bool | None = None,
+               cone_split_hint: dict | None = None) -> DeviceScene:
     """Build LBVHs over the primitive packs and reorder the packs so leaf
     clusters are contiguous.
 
@@ -281,6 +294,11 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
     the returned scene's packs/BVH then already live on device. Host-path
     packs stay numpy — call types.to_device afterwards for one batched
     transfer.
+
+    cone_split_hint (on-device generated fiber packs, e.g.
+    builtins.LAST_HAIRBALL_GEN): {"centroids": host numpy [M,3],
+    "fingerprint": str} — forces the device build path and feeds the
+    median split host centroids WITHOUT ever pulling the pack off device.
     """
     if method == "none":
         return scene
@@ -328,11 +346,14 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
                                         bvh_mod.reorder_tris,
                                         bvh_mod.pack_tris, TRI_LEAF_TARGET)
     if cones.count >= min_prims:
+        hint = cone_split_hint or {}
         out = (_attach_one_device(cones, isect.cone_aabbs,
                                   bvh_mod.reorder_cones, bvh_mod.pack_cones,
                                   leaf_size, fanout, CONE_LEAF_TARGET,
-                                  centroid_fn=isect.cone_centroids)
-               if want_device(cones.count) else None)
+                                  centroid_fn=isect.cone_centroids,
+                                  host_centroids=hint.get("centroids"),
+                                  fingerprint=hint.get("fingerprint"))
+               if (want_device(cones.count) or hint) else None)
         if out is not None:
             cones, cone_bvh = out
         else:

@@ -219,10 +219,117 @@ def fur_patch(resolution=(256, 256), fibers_per_face=5, fiber_verts=10,
     return scene, cam
 
 
+#: Split hint of the most recent on-device hair_ball generation: {"centroids"
+#: np [M,3] (host, closed-form from the same threefry draws the device pack
+#: used), "fingerprint" str}. Pass to attach_bvh(cone_split_hint=...) so the
+#: at-scale build never pulls the device pack back to host.
+LAST_HAIRBALL_GEN: dict = {}
+
+
+def _hair_ball_draws(n_fibers: int, seed: int, lean: float = 0.25):
+    """The threefry draws both generation paths consume: (u [N,2] sphere
+    uniforms, lean_raw [N,3] gaussian lean). Counter-based, so device and
+    host see identical bits."""
+    import jax
+
+    key = jax.random.key(np.uint32(seed))
+    ku, kl = jax.random.split(key)
+    u = jax.random.uniform(ku, (n_fibers, 2), jnp_dtype())
+    lean_raw = jax.random.normal(kl, (n_fibers, 3), jnp_dtype()) * lean
+    return u, lean_raw
+
+
+def jnp_dtype():
+    import jax.numpy as jnp
+    return jnp.float32
+
+
+def _dirs_from_u(u, xp):
+    """Uniform sphere directions from [N,2] uniforms (same formula as the
+    numpy path)."""
+    phi = 2.0 * np.pi * u[:, 0]
+    cos_t = 2.0 * u[:, 1] - 1.0
+    sin_t = xp.sqrt(xp.maximum(0.0, 1.0 - cos_t ** 2))
+    return xp.stack([sin_t * xp.cos(phi), cos_t, sin_t * xp.sin(phi)],
+                    axis=-1)
+
+
+def _hair_ball_cones_device(n_fibers, fiber_verts, fiber_radius,
+                            sphere_radius, seed):
+    """Generate the fiber cone pack ON DEVICE as one jit of the threefry
+    draws (VERDICT r4 weak #2 / r5 task 3: the geometry is a pure function
+    of (params, seed), so the ~90 s host-numpy growth and the 600 MB pack
+    upload both disappear). Returns (device ConePack, split hint dict)."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import mesh as mesh_mod
+    from .types import make_cone_pack_jnp
+
+    u, lean_raw = _hair_ball_draws(n_fibers, seed)
+
+    @jax.jit
+    def gen(u, lean_raw):
+        dirs = _dirs_from_u(u, jnp)
+        base_pts = dirs * sphere_radius
+        fibers = mesh_mod.grow_fur_fibers_along_jnp(
+            base_pts, dirs, lean_raw, fiber_verts, fiber_radius)
+        b, a, r0, r1 = mesh_mod.fibers_to_cone_chain(fibers)
+        return make_cone_pack_jnp(b, a, r0, r1,
+                                  jnp.ones(b.shape[0], jnp.int32))
+
+    pack = gen(u, lean_raw)
+
+    # host-side split inputs: pull only the 20 MB of draws, recompute the
+    # cone centroids closed-form (clustering needs nothing else; tiny f32
+    # drift vs the device pack only perturbs cluster QUALITY, never
+    # correctness — the AABBs/leaves come from the actual device pack)
+    un = np.asarray(u, np.float32)
+    ln = np.asarray(lean_raw, np.float32)
+    cent = _hair_ball_host_centroids(un, ln, fiber_verts, sphere_radius)
+    h = hashlib.blake2b(
+        f"hairball:v1:{n_fibers}:{fiber_verts}:{fiber_radius}:"
+        f"{sphere_radius}:{seed}".encode(), digest_size=16)
+    return pack, {"centroids": cent, "fingerprint": h.hexdigest()}
+
+
+def _hair_ball_host_centroids(u, lean_raw, fiber_verts, sphere_radius):
+    """numpy mirror of the device generator, reduced to what the median
+    split consumes: cone AABB centroids 0.5*(base' + apex) with the
+    joint-hiding -0.008*seg base offset (mesh.fibers_to_cone_chain)."""
+    d = _dirs_from_u(u.astype(np.float32), np).astype(np.float32)
+    dn = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    lean = lean_raw - dn * np.sum(lean_raw * dn, axis=-1, keepdims=True)
+    v = fiber_verts
+    pos = (d * sphere_radius - 0.003 * dn).astype(np.float32)
+    positions = [pos]
+    k = 1
+    for i in range(v, 1, -1):
+        step = np.float32(np.log(float(i)) / 90.0)
+        gd = dn + lean * (k / max(v - 1, 1))
+        gd = gd / np.maximum(np.linalg.norm(gd, axis=-1, keepdims=True),
+                             1e-12)
+        pos = pos + step * gd * np.float32(3.0)
+        positions.append(pos.astype(np.float32))
+        k += 1
+    p = np.stack(positions, axis=1)  # [N,V,3]
+    b = p[:, :-1]
+    a = p[:, 1:]
+    b = b - np.float32(0.008) * (a - b)
+    return (0.5 * (b + a)).reshape(-1, 3).astype(np.float32)
+
+
 def hair_ball(resolution=(512, 512), n_fibers=10000, fiber_verts=10,
               fiber_radius=0.004, sphere_radius=0.5, bsdf="MarschnerHairBSDF",
-              seed=0):
-    """Hair ball: icosphere-ish core + radially grown fibers (config 5)."""
+              seed=0, on_device=False):
+    """Hair ball: icosphere-ish core + radially grown fibers (config 5).
+
+    on_device=True generates the fiber pack directly on the accelerator
+    (threefry draws -> one jit; different RNG stream than the numpy path,
+    so geometry differs at equal seed) and records the BVH split hint in
+    LAST_HAIRBALL_GEN — pass it to attach_bvh(cone_split_hint=...)."""
     rs = np.random.RandomState(seed)
     # core sphere triangles (UV sphere, coarse)
     n_lat, n_lon = 16, 24
@@ -250,17 +357,23 @@ def hair_ball(resolution=(512, 512), n_fibers=10000, fiber_verts=10,
     fur_mat = dict(name="Fiber_Mat", diffuse=(0.545, 0.353, 0.169), ior=1.55, bsdf=bsdf)
     pack = make_triangle_pack(v[:, 0], v[:, 1], v[:, 2], mat_id=np.zeros(len(tris)))
 
-    # radial fibers from random sphere points
-    u = rs.rand(n_fibers, 2)
-    phi = 2 * np.pi * u[:, 0]
-    cos_t = 2 * u[:, 1] - 1
-    sin_t = np.sqrt(np.maximum(0, 1 - cos_t ** 2))
-    dirs = np.stack([sin_t * np.cos(phi), cos_t, sin_t * np.sin(phi)], axis=-1)
-    base_pts = dirs * sphere_radius
-    fibers = mesh_mod.grow_fur_fibers_along(base_pts, dirs, fiber_verts,
-                                            fiber_radius, seed=seed)
-    base, apex, r0, r1 = mesh_mod.fibers_to_cone_chain(fibers)
-    cones = make_cone_pack(base, apex, r0, r1, np.ones(base.shape[0]))
+    if on_device:
+        cones, hint = _hair_ball_cones_device(
+            n_fibers, fiber_verts, fiber_radius, sphere_radius, seed)
+        LAST_HAIRBALL_GEN.clear()
+        LAST_HAIRBALL_GEN.update(hint)
+    else:
+        # radial fibers from random sphere points
+        u = rs.rand(n_fibers, 2)
+        phi = 2 * np.pi * u[:, 0]
+        cos_t = 2 * u[:, 1] - 1
+        sin_t = np.sqrt(np.maximum(0, 1 - cos_t ** 2))
+        dirs = np.stack([sin_t * np.cos(phi), cos_t, sin_t * np.sin(phi)], axis=-1)
+        base_pts = dirs * sphere_radius
+        fibers = mesh_mod.grow_fur_fibers_along(base_pts, dirs, fiber_verts,
+                                                fiber_radius, seed=seed)
+        base, apex, r0, r1 = mesh_mod.fibers_to_cone_chain(fibers)
+        cones = make_cone_pack(base, apex, r0, r1, np.ones(base.shape[0]))
 
     lights = make_light_pack([
         dict(kind="quad", color=(12.0, 12.0, 12.0), position=(1.5, 2.0, 1.5),

@@ -389,6 +389,42 @@ def make_cone_pack(base, apex, r_base, r_apex, mat_id, transform=None) -> ConePa
     )
 
 
+def make_cone_pack_jnp(base, apex, r_base, r_apex, mat_id) -> ConePack:
+    """jnp twin of make_cone_pack (untransformed fibers) — the Cylinder-ctor
+    frame (Cylinder.cpp:5-43) as a jit-traceable program, so the flagship's
+    fiber pack is generated directly on device (no host pack, no 600 MB
+    upload). Same f32 math and the same w = normalize(cross(u, v))
+    invariant the packed traversal relies on."""
+    import jax.numpy as jnp
+
+    local_v = apex - base
+    height = jnp.maximum(jnp.linalg.norm(local_v, axis=-1), 1e-12)
+    vhat = local_v / height[:, None]
+
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    zax = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    degenerate = (1.0 - jnp.abs(vhat[:, 1])) < 1e-4  # dot(up, vhat) = v.y
+    tmp = jnp.where(degenerate[:, None], zax, up)
+    u = jnp.cross(vhat, tmp)
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+    v = vhat
+    w = jnp.cross(u, v)
+    w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+
+    slope = (r_base - r_apex) / height
+    base_d = jnp.sum(base * v, axis=-1)
+    apex_d = jnp.sum(apex * v, axis=-1)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return ConePack(
+        base=f32(base), apex=f32(apex), r_base=f32(r_base),
+        r_apex=f32(r_apex), u=f32(u), v=f32(v), w=f32(w), slope=f32(slope),
+        height=f32(height), base_d=f32(base_d),
+        min_d=f32(jnp.minimum(base_d, apex_d)),
+        max_d=f32(jnp.maximum(base_d, apex_d)),
+        mat_id=jnp.asarray(mat_id, jnp.int32),
+    )
+
+
 def empty_cone_pack() -> ConePack:
     z3 = np.zeros((0, 3), np.float32)
     z1 = np.zeros((0,), np.float32)

@@ -213,13 +213,21 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
     from ba_pathtracing_fur_tpu.scene.types import to_device
 
     depth = 4
+    hint = None
     if name == "fur_patch":
         fpf = max(n_fibers // 2, 1)
         scene, camera = builtins.fur_patch(resolution=res, fibers_per_face=fpf)
     else:
-        scene, camera = builtins.hair_ball(resolution=res, n_fibers=n_fibers)
+        # r5 protocol: fibers generated ON DEVICE (threefry draws -> one
+        # jit), so there is no 600 MB pack upload and bvh_build_s measures
+        # split+device work. Geometry is re-seeded vs the r1-r4 numpy
+        # stream (statistically identical scene; rates comparable).
+        scene, camera = builtins.hair_ball(resolution=res, n_fibers=n_fibers,
+                                           on_device=True)
+        hint = dict(builtins.LAST_HAIRBALL_GEN)
     t0 = time.perf_counter()
-    scene = traverse.attach_bvh(scene, method="median")
+    scene = traverse.attach_bvh(scene, method="median",
+                                cone_split_hint=hint)
     import jax as _jax
     if scene.cone_bvh is not None:
         b = scene.cone_bvh

@@ -48,19 +48,32 @@ def main() -> None:
     stats: dict = {"fibers": fibers, "res": [res, res], "spp": spp,
                    "depth": 4}
 
+    # On-device scene generation (r5): the fiber pack is a pure jit of the
+    # threefry draws, so the ~90 s host-numpy growth and the 600 MB pack
+    # upload are gone; the BVH split gets host centroids recomputed from
+    # the same 20 MB of draws (builtins.LAST_HAIRBALL_GEN). Set
+    # FLAGSHIP_HOST_GEN=1 to compare against the legacy host path.
+    host_gen = os.environ.get("FLAGSHIP_HOST_GEN") == "1"
     t0 = time.perf_counter()
     scene, camera = builtins.hair_ball(resolution=(res, res),
-                                       n_fibers=fibers)
+                                       n_fibers=fibers,
+                                       on_device=not host_gen)
+    hint = None if host_gen else dict(builtins.LAST_HAIRBALL_GEN)
+    if scene.cones.count:
+        jax.block_until_ready(scene.cones.base)
     stats["scene_gen_s"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
-    scene = traverse.attach_bvh(scene, method="median")
+    scene = traverse.attach_bvh(scene, method="median",
+                                cone_split_hint=hint)
     if scene.cone_bvh is not None:
         jax.block_until_ready(scene.cone_bvh.prim_hbm if scene.cone_bvh.packed is None else scene.cone_bvh.packed)
     stats["bvh_build_s"] = round(time.perf_counter() - t0, 1)
     stats["bvh_build_stages"] = dict(traverse.LAST_BUILD_STATS)
     scene = to_device(scene)
     stats["n_cones"] = int(scene.cones.count)
+    stats["time_to_first_ray_s"] = round(
+        stats["scene_gen_s"] + stats["bvh_build_s"], 1)
 
     cfg = RenderConfig(depth=4, spp=spp, ray_chunk=2048, compact=False)  # r4: kernel path, compaction is overhead
     key = jax.random.key(0)
