@@ -78,10 +78,21 @@ def orthonormal_basis(normal: jnp.ndarray):
 def local_to_world_normal(local_dir: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
     """Map a z-up local direction into the frame whose z axis is `normal`.
 
-    Equivalent of the reference's Math::localToWorldNormal used by the
-    cosine-hemisphere BSDF samplers (Bsdf.cpp:189).
+    EXACT Math::localToWorldNormal (Utils/Math.cpp:16-24), the frame the
+    reference BSDF samplers build: s = normalize(n.y^2 > n.x^2 ?
+    (0, nz, -ny) : (-nz, 0, nx)); t = normalize(cross(n, s)). NOT the same
+    as Light::orthonormalBase (orthonormal_basis below) — the branch
+    condition differs (y^2 > x^2 vs |x| > |y|), so for normals with
+    x == y == 0 the two pick DIFFERENT tangents. This module originally
+    used the Light frame here; the independent KIRK-CPU oracle
+    (validation/kirk_cpu_oracle.py) caught the divergence on the Cornell
+    back wall (r5).
     """
-    s, t = orthonormal_basis(normal)
+    nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+    dx0 = jnp.stack([jnp.zeros_like(nx), nz, -ny], axis=-1)
+    dx1 = jnp.stack([-nz, jnp.zeros_like(nx), nx], axis=-1)
+    s = normalize(jnp.where((ny * ny > nx * nx)[..., None], dx0, dx1))
+    t = normalize(cross(normal, s))
     return (
         local_dir[..., 0:1] * s
         + local_dir[..., 1:2] * t
