@@ -94,6 +94,14 @@ class RenderConfig(NamedTuple):
     # running-mean accumulator would turn into NaN. Throughput is clamped to
     # this value after each bounce (inf-parity is not reproducible anyway).
     clamp_throughput: float = 1e4
+    # Fused bounce shading (VERDICT r4 task 1): run the entire post-
+    # traversal shade stage as ONE Pallas pass (ops/pallas/shade.py wrapping
+    # models/shade_core.py — the pt_shade.compute:99-287 analog) instead of
+    # the ~200-op XLA chain. Same estimator, same RNG streams; NEE scene
+    # occlusion still runs in the traversal kernels. Not compatible with
+    # bdpt (falls back) and not differentiable (grad paths must use the
+    # unfused trace_bounce).
+    fused_shading: bool = False
 
 
 @struct.dataclass
@@ -317,6 +325,91 @@ def trace_bounce(state: RayState, scene: DeviceScene, keys, bounce, cfg: RenderC
                     prev_pdf=prev_pdf)
 
 
+def trace_bounce_fused(state: RayState, scene: DeviceScene, keys, bounce,
+                       cfg: RenderConfig, closest_fn=None, occlude_fn=None,
+                       n_alive=None, mode: str = "kernel") -> RayState:
+    """trace_bounce with the shade stage fused into one Pallas pass.
+
+    Pipeline per bounce: closest-hit traversal kernel -> material gather +
+    env lookup + RNG draws (the gather-bearing ops stay XLA) -> fused shade
+    kernel (ops/pallas/shade.shade_bounce) -> shadow any-hit traversal ->
+    one masked add of the NEE term. Estimator-identical to trace_bounce
+    (tests/test_fused_shade.py pins image agreement)."""
+    from ..ops.pallas import shade as pshade
+    from .shade_core import CoreCfg
+
+    active = jnp.any(state.radiance != 0.0, axis=-1)
+    has_dir = jnp.any(state.direction != 0.0, axis=-1)
+    do_trace = active & has_dir
+    t_cap = jnp.where(do_trace, isect.INF, 0.0)
+
+    if closest_fn is None:
+        hit = traverse.closest_hit(state.origin, state.direction, scene,
+                                   t_max=t_cap, chunk=cfg.ray_chunk,
+                                   n_alive=n_alive)
+    else:
+        hit = closest_fn(state.origin, state.direction, scene)
+
+    mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv,
+                                   scene.textures, scene.tex_slots)
+    env_c = shading.environment_color(scene.env, state.direction)
+
+    u_bsdf = rng.bounce_uniform(keys, bounce, 2, tag=0)
+    u_pick = rng.bounce_uniform(keys, bounce, 1, tag=1)[:, 0]
+    u_light = rng.bounce_uniform(keys, bounce, 2, tag=2)
+    u_hairp = rng.bounce_uniform(keys, bounce, 1, tag=3)[:, 0]
+    if cfg.rr:
+        u_rr = rng.bounce_uniform(keys, bounce, 1, tag=4)[:, 0]
+    else:
+        u_rr = jnp.zeros_like(u_pick)
+    r = state.origin.shape[0]
+    rr_gate = jnp.broadcast_to(
+        jnp.where(bounce >= cfg.rr_start, 1.0, 0.0), (r,))
+
+    ccfg = CoreCfg(n_lights=scene.lights.count, mis=cfg.mis, rr=cfg.rr,
+                   has_hair=scene.has_hair,
+                   hair_p_random=cfg.hair_p_random,
+                   clamp_throughput=cfg.clamp_throughput,
+                   bsdfs_present=scene.bsdfs_present)
+    mp_fields = dict(diffuse=mp.diffuse, specular=mp.specular,
+                     volume=mp.volume, emission=mp.emission, ior=mp.ior,
+                     transparency=mp.transparency,
+                     reflectivity=mp.reflectivity, roughness=mp.roughness,
+                     bsdf_id=mp.bsdf_id, shader_id=mp.shader_id,
+                     hair_alpha=mp.hair_alpha, hair_beta=mp.hair_beta)
+    out = pshade.shade_bounce(
+        origin=state.origin, direction=state.direction,
+        radiance=state.radiance, color=state.color, flags=state.flags,
+        theta_i=state.theta_i, prev_pdf=state.prev_pdf, hit_t=hit.t,
+        hit_valid=hit.valid, hit_pos=hit.position, hit_normal=hit.normal,
+        fib_u=hit.fiber_u, fib_v=hit.fiber_v, fib_w=hit.fiber_w,
+        mp_fields=mp_fields, env_color=env_c,
+        env_ambient=scene.env.ambient,
+        lights_table=pshade.pack_lights_smem(scene.lights),
+        n_lights=scene.lights.count, u_bsdf=u_bsdf, u_pick=u_pick,
+        u_light=u_light, u_hairp=u_hairp, u_rr=u_rr, rr_gate=rr_gate,
+        cfg=ccfg, mode=mode)
+
+    t_max = out["shadow_tmax"]
+    if scene.lights.count:
+        if occlude_fn is None:
+            blocked = traverse.any_hit(out["shadow_o"], out["shadow_d"],
+                                       scene, t_max, chunk=cfg.ray_chunk,
+                                       n_alive=n_alive)
+        else:
+            blocked = occlude_fn(out["shadow_o"], out["shadow_d"], scene,
+                                 t_max)
+        color = out["color"] + jnp.where(blocked[:, None], 0.0,
+                                         out["direct_rgb"])
+    else:
+        color = out["color"]
+
+    return RayState(origin=out["origin"], direction=out["direction"],
+                    radiance=out["radiance"], color=color,
+                    flags=out["flags"], theta_i=out["theta_i"],
+                    prev_pdf=out["prev_pdf"])
+
+
 def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key,
                       sample_idx, cfg: RenderConfig, closest_fn=None,
                       occlude_fn=None) -> jnp.ndarray:
@@ -347,12 +440,21 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
             ray_chunk=cfg.ray_chunk, occlude_fn=occlude_fn,
             closest_fn=closest_fn)
 
-    bounce_fn = trace_bounce
+    # fused shade stage (cfg.fused_shading): bdpt keeps the unfused path
+    # (its eye-vertex connection replaces NEE inside trace_bounce)
+    use_fused = cfg.fused_shading and not cfg.bdpt
+
+    def step(st, ks, b, n_alive=None):
+        if use_fused:
+            return trace_bounce_fused(st, scene, ks, b, cfg, closest_fn,
+                                      occlude_fn, n_alive=n_alive)
+        return trace_bounce(st, scene, ks, b, cfg, closest_fn, occlude_fn,
+                            subpaths, n_alive=n_alive)
+
+    bounce_fn = step
     if cfg.remat:
         bounce_fn = jax.checkpoint(
-            lambda st, sc, ks, b, n_alive=None: trace_bounce(
-                st, sc, ks, b, cfg, closest_fn, occlude_fn, subpaths,
-                n_alive=n_alive),
+            lambda st, ks, b, n_alive=None: step(st, ks, b, n_alive),
             static_argnums=())
 
     if cfg.compact:
@@ -360,11 +462,7 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
 
         def body(b, carry):
             st, ks, slot, n_alive = carry
-            if cfg.remat:
-                st = bounce_fn(st, scene, ks, b, n_alive=n_alive)
-            else:
-                st = trace_bounce(st, scene, ks, b, cfg, closest_fn,
-                                  occlude_fn, subpaths, n_alive=n_alive)
+            st = bounce_fn(st, ks, b, n_alive=n_alive)
             alive = jnp.any(st.radiance != 0.0, axis=-1)
             perm, n_alive = compact_mod.compaction_permutation(alive)
             st = compact_mod.gather_pytree(st, perm)
@@ -376,10 +474,7 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
         color = jnp.zeros_like(state.color).at[slot].set(state.color)
     else:
         def body(b, st):
-            if cfg.remat:
-                return bounce_fn(st, scene, keys, b)
-            return trace_bounce(st, scene, keys, b, cfg, closest_fn,
-                                occlude_fn, subpaths)
+            return bounce_fn(st, keys, b)
 
         state = jax.lax.fori_loop(0, cfg.depth, body, state)
         color = state.color
