@@ -338,6 +338,42 @@ def trace_bounce_fused(state: RayState, scene: DeviceScene, keys, bounce,
     from ..ops.pallas import shade as pshade
     from .shade_core import CoreCfg
 
+    ccfg0 = CoreCfg(n_lights=scene.lights.count, mis=cfg.mis, rr=cfg.rr,
+                    has_hair=scene.has_hair,
+                    hair_p_random=cfg.hair_p_random,
+                    clamp_throughput=cfg.clamp_throughput,
+                    bsdfs_present=scene.bsdfs_present)
+
+    # Level-2 full fusion (brute-force untextured scenes): traversal,
+    # materials, shading AND the shadow any-hit all in one program
+    if (mode == "kernel" and closest_fn is None and occlude_fn is None
+            and pshade.full_fuse_eligible(scene)):
+        u_bsdf = rng.bounce_uniform(keys, bounce, 2, tag=0)
+        u_pick = rng.bounce_uniform(keys, bounce, 1, tag=1)[:, 0]
+        u_light = rng.bounce_uniform(keys, bounce, 2, tag=2)
+        u_hairp = rng.bounce_uniform(keys, bounce, 1, tag=3)[:, 0]
+        u_rr = (rng.bounce_uniform(keys, bounce, 1, tag=4)[:, 0]
+                if cfg.rr else jnp.zeros_like(u_pick))
+        r = state.origin.shape[0]
+        rr_gate = jnp.broadcast_to(
+            jnp.where(bounce >= cfg.rr_start, 1.0, 0.0), (r,))
+        out = pshade.shade_bounce_full(
+            origin=state.origin, direction=state.direction,
+            radiance=state.radiance, color=state.color, flags=state.flags,
+            theta_i=state.theta_i, prev_pdf=state.prev_pdf,
+            mats_table=pshade.pack_mats_smem(scene.materials),
+            tris_table=pshade.pack_tris_smem(scene.tris),
+            lights_table=pshade.pack_lights_smem(scene.lights),
+            env_color3=scene.env.color, env_ambient=scene.env.ambient,
+            n_lights=scene.lights.count, n_tris=scene.tris.count,
+            n_mats=scene.materials.diffuse.shape[0],
+            u_bsdf=u_bsdf, u_pick=u_pick, u_light=u_light, u_hairp=u_hairp,
+            u_rr=u_rr, rr_gate=rr_gate, cfg=ccfg0)
+        return RayState(origin=out["origin"], direction=out["direction"],
+                        radiance=out["radiance"], color=out["color"],
+                        flags=out["flags"], theta_i=out["theta_i"],
+                        prev_pdf=out["prev_pdf"])
+
     active = jnp.any(state.radiance != 0.0, axis=-1)
     has_dir = jnp.any(state.direction != 0.0, axis=-1)
     do_trace = active & has_dir

@@ -132,8 +132,12 @@ def bench_cornell(smoke, peak, variant="diffuse"):
 
     scene, camera = cornell_box(resolution=res, variant=variant)
     scene = to_device(scene)
+    # fused_shading (r5): the level-2 full-bounce kernel fuses traversal +
+    # shade + shadow for brute-force scenes — measured 17.6 -> 160M rays/s
+    # (diffuse) and 12.1 -> 212M (glossy MIS) on the bench chip
     cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=res[0] * res[1],
-                       spp_batch=1, compact=False, mis=mis, rr=mis)
+                       spp_batch=1, compact=False, mis=mis, rr=mis,
+                       fused_shading=True)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
@@ -239,7 +243,12 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
     # overhead — dead tiles already skip inside the kernel (r4 A/B:
     # hair ball 1.66M vs 1.36M rays/s, fur patch 4.04M vs 2.97M).
     chunk = 1024 if name == "hair_ball" else 2048
-    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=chunk, compact=False)
+    # hair ball: level-1 fused shade measured 1.59 -> 1.70M rays/s; fur
+    # patch neutral (4.06M both ways, r5 A/B) — fused on for both (one
+    # code path), tri_100k stays unfused (4.61 vs 4.01M, texture fetches
+    # plus pack overhead outweigh the fused gain there)
+    cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=chunk, compact=False,
+                       fused_shading=True)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
@@ -265,8 +274,9 @@ def bench_reference_default(smoke, peak):
     spp, depth = (4, 5) if smoke else (100, 5)
     scene, camera = cornell_box(resolution=res)
     scene = to_device(scene)
+    # r5: level-2 fused bounce (12.2 -> 199M rays/s measured)
     cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=res[0] * res[1],
-                       spp_batch=1, compact=False)
+                       spp_batch=1, compact=False, fused_shading=True)
     key = jax.random.key(0)
     rays = res[0] * res[1] * spp * depth
     m = _measure(lambda s, k: render_image(s, camera, k, cfg), (scene, key),
