@@ -102,6 +102,21 @@ class RenderConfig(NamedTuple):
     # bdpt (falls back) and not differentiable (grad paths must use the
     # unfused trace_bounce).
     fused_shading: bool = False
+    # Joint closest+shadow traversal (r5, MEASURED NEGATIVE — kept as an
+    # opt-in): when the fused shade stage is on and ONE streaming-kernel
+    # BVH covers the scene, bounce b's NEE shadow rays are deferred one
+    # iteration and traced IN THE SAME mixed kernel pass as bounce b+1's
+    # continuation rays (traverse.joint_closest_any) — the pair shares its
+    # origin, so interleaving shares each tile's DMA stream/schedule and
+    # the entry-morton sort. Measured on the 1M-fiber hair ball (1024^2,
+    # spp 2, TPU v5e, benchmarks/dev_joint_e2e.py): 13% SLOWER (4.72 ->
+    # 5.36 s) with a BIT-IDENTICAL image. The isolated mixed pass is
+    # neutral per ray-slot (benchmarks/dev_joint_ab.py: 702 vs 713 ms —
+    # the kernel is schedule-bound, not DMA-bound, so sharing the stream
+    # buys nothing), and the loop restructure adds ~12.5% ray-slots (the
+    # final pend resolve pass + bounce-0's all-dead shadow lanes), which
+    # is exactly the regression. Default off.
+    joint_shadows: bool = False
 
 
 @struct.dataclass
@@ -386,6 +401,36 @@ def trace_bounce_fused(state: RayState, scene: DeviceScene, keys, bounce,
     else:
         hit = closest_fn(state.origin, state.direction, scene)
 
+    out = _fused_shade_stage(state, scene, keys, bounce, cfg, hit, mode)
+
+    t_max = out["shadow_tmax"]
+    if scene.lights.count:
+        if occlude_fn is None:
+            blocked = traverse.any_hit(out["shadow_o"], out["shadow_d"],
+                                       scene, t_max, chunk=cfg.ray_chunk,
+                                       n_alive=n_alive)
+        else:
+            blocked = occlude_fn(out["shadow_o"], out["shadow_d"], scene,
+                                 t_max)
+        color = out["color"] + jnp.where(blocked[:, None], 0.0,
+                                         out["direct_rgb"])
+    else:
+        color = out["color"]
+
+    return RayState(origin=out["origin"], direction=out["direction"],
+                    radiance=out["radiance"], color=color,
+                    flags=out["flags"], theta_i=out["theta_i"],
+                    prev_pdf=out["prev_pdf"])
+
+
+def _fused_shade_stage(state: RayState, scene, keys, bounce,
+                       cfg: RenderConfig, hit, mode: str = "kernel") -> dict:
+    """Material gather + env lookup + RNG draws + the fused shade kernel —
+    the post-traversal stage shared by trace_bounce_fused and the joint
+    variant. Returns shade_bounce's output row dict."""
+    from ..ops.pallas import shade as pshade
+    from .shade_core import CoreCfg
+
     mp = bsdf_mod.gather_materials(scene.materials, hit.mat_id, hit.uv,
                                    scene.textures, scene.tex_slots)
     env_c = shading.environment_color(scene.env, state.direction)
@@ -413,7 +458,7 @@ def trace_bounce_fused(state: RayState, scene: DeviceScene, keys, bounce,
                      reflectivity=mp.reflectivity, roughness=mp.roughness,
                      bsdf_id=mp.bsdf_id, shader_id=mp.shader_id,
                      hair_alpha=mp.hair_alpha, hair_beta=mp.hair_beta)
-    out = pshade.shade_bounce(
+    return pshade.shade_bounce(
         origin=state.origin, direction=state.direction,
         radiance=state.radiance, color=state.color, flags=state.flags,
         theta_i=state.theta_i, prev_pdf=state.prev_pdf, hit_t=hit.t,
@@ -426,24 +471,87 @@ def trace_bounce_fused(state: RayState, scene: DeviceScene, keys, bounce,
         u_light=u_light, u_hairp=u_hairp, u_rr=u_rr, rr_gate=rr_gate,
         cfg=ccfg, mode=mode)
 
-    t_max = out["shadow_tmax"]
-    if scene.lights.count:
-        if occlude_fn is None:
-            blocked = traverse.any_hit(out["shadow_o"], out["shadow_d"],
-                                       scene, t_max, chunk=cfg.ray_chunk,
-                                       n_alive=n_alive)
-        else:
-            blocked = occlude_fn(out["shadow_o"], out["shadow_d"], scene,
-                                 t_max)
-        color = out["color"] + jnp.where(blocked[:, None], 0.0,
-                                         out["direct_rgb"])
-    else:
-        color = out["color"]
 
-    return RayState(origin=out["origin"], direction=out["direction"],
-                    radiance=out["radiance"], color=color,
-                    flags=out["flags"], theta_i=out["theta_i"],
-                    prev_pdf=out["prev_pdf"])
+def init_pending(r: int) -> dict:
+    """Dead pending-NEE carry for the joint-traversal loop (bounce -1 has
+    no shadow rays; tmax 0 lanes are inert in the mixed kernel)."""
+    z3 = jnp.zeros((r, 3), jnp.float32)
+    return dict(o=z3, d=z3, tmax=jnp.zeros((r,), jnp.float32), direct=z3)
+
+
+def trace_bounce_fused_joint(state: RayState, pend: dict, scene, keys,
+                             bounce, cfg: RenderConfig,
+                             mode: str = "kernel"):
+    """trace_bounce_fused with the shadow pass DEFERRED one bounce: the
+    previous bounce's NEE shadow rays ride in the SAME mixed streaming
+    kernel pass as this bounce's closest-hit rays
+    (traverse.joint_closest_any — the pairs share an origin, so they
+    share each tile's DMA stream/schedule and the entry-morton sort).
+    Returns (new_state, new_pend); the caller resolves the final pend
+    with one plain any_hit after the bounce loop."""
+    active = jnp.any(state.radiance != 0.0, axis=-1)
+    has_dir = jnp.any(state.direction != 0.0, axis=-1)
+    do_trace = active & has_dir
+    t_cap = jnp.where(do_trace, isect.INF, 0.0)
+
+    hit, blocked = traverse.joint_closest_any(
+        state.origin, state.direction, t_cap,
+        pend["o"], pend["d"], pend["tmax"], scene)
+    # resolve the carried NEE term (direct is 0 on lanes without one)
+    state = state.replace(color=state.color + jnp.where(
+        blocked[:, None], 0.0, pend["direct"]))
+
+    out = _fused_shade_stage(state, scene, keys, bounce, cfg, hit, mode)
+    new_state = RayState(origin=out["origin"], direction=out["direction"],
+                         radiance=out["radiance"], color=out["color"],
+                         flags=out["flags"], theta_i=out["theta_i"],
+                         prev_pdf=out["prev_pdf"])
+    new_pend = dict(o=out["shadow_o"], d=out["shadow_d"],
+                    tmax=out["shadow_tmax"], direct=out["direct_rgb"])
+    return new_state, new_pend
+
+
+def _render_sample_joint(scene: DeviceScene, state: RayState, keys,
+                         cfg: RenderConfig) -> jnp.ndarray:
+    """Bounce loop for the joint closest+shadow traversal: the NEE shadow
+    rays of bounce b resolve inside bounce b+1's mixed kernel pass; the
+    LAST bounce's pend resolves in one plain any_hit after the loop."""
+    from ..ops import compact as compact_mod
+
+    r = state.origin.shape[0]
+    pend = init_pending(r)
+
+    if cfg.compact:
+        def body(b, carry):
+            st, pend, ks, slot, _n = carry
+            st, pend = trace_bounce_fused_joint(st, pend, scene, ks, b, cfg)
+            # a lane with a live pending shadow still owes a color term,
+            # so it must stay in the active zone even if its path died
+            alive = (jnp.any(st.radiance != 0.0, axis=-1)
+                     | (pend["tmax"] > 0.0))
+            perm, n_alive = compact_mod.compaction_permutation(alive)
+            st = compact_mod.gather_pytree(st, perm)
+            pend = compact_mod.gather_pytree(pend, perm)
+            return st, pend, ks[perm], slot[perm], n_alive
+
+        carry = (state, pend, keys, jnp.arange(r, dtype=jnp.int32),
+                 jnp.int32(r))
+        state, pend, _, slot, _ = jax.lax.fori_loop(0, cfg.depth, body,
+                                                    carry)
+        blocked = traverse.any_hit(pend["o"], pend["d"], scene,
+                                   pend["tmax"], chunk=cfg.ray_chunk)
+        color = state.color + jnp.where(blocked[:, None], 0.0,
+                                        pend["direct"])
+        return jnp.zeros_like(color).at[slot].set(color)
+
+    def body(b, carry):
+        st, pend = carry
+        return trace_bounce_fused_joint(st, pend, scene, keys, b, cfg)
+
+    state, pend = jax.lax.fori_loop(0, cfg.depth, body, (state, pend))
+    blocked = traverse.any_hit(pend["o"], pend["d"], scene, pend["tmax"],
+                               chunk=cfg.ray_chunk)
+    return state.color + jnp.where(blocked[:, None], 0.0, pend["direct"])
 
 
 def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key,
@@ -479,6 +587,15 @@ def render_sample_ids(scene: DeviceScene, camera: cam_mod.Camera, pixel_ids, key
     # fused shade stage (cfg.fused_shading): bdpt keeps the unfused path
     # (its eye-vertex connection replaces NEE inside trace_bounce)
     use_fused = cfg.fused_shading and not cfg.bdpt
+
+    # joint closest+shadow traversal (see RenderConfig.joint_shadows):
+    # only when traversal/occlusion aren't overridden (multi-device
+    # sharding passes closest_fn) and one streaming BVH covers the scene
+    use_joint = (use_fused and cfg.joint_shadows and closest_fn is None
+                 and occlude_fn is None and scene.lights.count > 0
+                 and traverse.joint_eligible(scene))
+    if use_joint:
+        return _render_sample_joint(scene, state, keys, cfg)
 
     def step(st, ks, b, n_alive=None):
         if use_fused:

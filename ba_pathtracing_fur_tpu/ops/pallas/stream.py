@@ -202,14 +202,25 @@ def _slab6(box6, o, inv, t_cap):
         tnear = lo if tnear is None else jnp.maximum(tnear, lo)
         tfar = hi if tfar is None else jnp.minimum(tfar, hi)
     hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear < t_cap)
-    return jnp.where(hit, tnear, _INF)
+    # Clamp entries to 0: a box containing the origin has tnear < 0, and a
+    # NEGATIVE entry stays "useful" (entry < t_best) even once t_best == 0
+    # — so blocked any-hit lanes (and dead t_max=0 lanes in mixed tiles)
+    # would keep pulling every origin-enclosing box into the shared
+    # schedule forever. For live lanes 0 and tnear<0 order/prune the same.
+    return jnp.where(hit, jnp.maximum(tnear, 0.0), _INF)
 
 
 def _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k, k_pad,
-                        t_min, any_hit):
+                        t_min, any_hit, mixed=False):
     """Kernel body factory. Refs (in order):
     o, d, tmax | sboxes, cboxes, prim(HBM) | t_out, idx_out |
     blk (scratch [2, W, K_pad]), sem (DMA x2), supt [T,S], childt [T,F].
+
+    mixed: per-LANE any-hit semantics from ray row 7 (1.0 = shadow lane,
+    zeroed t on acceptance; 0.0 = closest lane) — the joint
+    closest+shadow pass interleaves both ray kinds of one wavefront so
+    they share the tile's DMA stream and schedule (they start at the
+    same hit points). Mutually exclusive with any_hit.
     """
 
     # I/O layout note: all per-ray data arrives as ONE component-major
@@ -242,6 +253,7 @@ def _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k, k_pad,
               childt_ref, t_ref, idx_ref):
         o = jnp.transpose(rays_ref[0:3, :])  # -> [T, 3]
         d = jnp.transpose(rays_ref[3:6, :])
+        anym = jnp.transpose(rays_ref[7:8, :]) > 0.5  # [T,1] mixed lanes
         t_rows = o.shape[0]
         eps = 1e-20
         inv = 1.0 / jnp.where(jnp.abs(d) < eps,
@@ -336,6 +348,9 @@ def _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k, k_pad,
                 better = rb < tb
                 if any_hit:
                     t_ref[:] = jnp.where(better, 0.0, tb)
+                elif mixed:
+                    t_ref[:] = jnp.where(better,
+                                         jnp.where(anym, 0.0, rb), tb)
                 else:
                     t_ref[:] = jnp.where(better, rb, tb)
                 idx_ref[:] = jnp.where(better, c_gid * leaf_k + col,
@@ -408,13 +423,17 @@ def _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k, k_pad,
 def traverse_stream(o, d, sboxes, cboxes, prim_hbm, t_max, *, kind: str,
                     fanout: int, leaf_k: int, t_min: float = 1e-4,
                     any_hit: bool = False, ray_tile: int = STREAM_RAY_TILE,
-                    mxu: bool = False):
+                    mxu: bool = False, is_any=None):
     """DMA-streaming two-level traversal.
 
     o/d [R,3]; sboxes [6,S]; cboxes [S,6,F]; prim_hbm [C,W,K_pad]
     (pack_* helpers above); t_max [R]. Returns (t [R] (t_max where miss,
     0.0 for accepted any-hit rays), row [R] int32 (-1 miss), found [R]).
     Rows index the reordered pack as child_gid * leaf_k + within.
+
+    is_any [R] (mixed mode): per-lane any-hit flag (1.0 = shadow
+    semantics) — pass the joint wavefront's interleaved closest+shadow
+    rays so pairs sharing an origin share the DMA stream.
     """
     if mxu and kind == "cone":
         block_fn = _cone_block_mxu
@@ -426,15 +445,21 @@ def traverse_stream(o, d, sboxes, cboxes, prim_hbm, t_max, *, kind: str,
     pad = (-r) % ray_tile
     r_pad = r + pad
     g = r_pad // ray_tile
+    mixed = is_any is not None
+    flag_row = (jnp.pad(jnp.asarray(is_any, jnp.float32), (0, pad))[None, :]
+                if mixed else jnp.zeros((1, r_pad), jnp.float32))
     # ONE component-major [8, R] ray operand — see the kernel I/O note
     rays_cm = jnp.concatenate([
         jnp.pad(o, ((0, pad), (0, 0))).T,
         jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0).T,
         jnp.pad(jnp.asarray(t_max, jnp.float32), (0, pad))[None, :],
-        jnp.zeros((1, r_pad), jnp.float32),
+        flag_row,
     ], axis=0)
     kernel = _make_stream_kernel(block_fn, width, n_sup, fanout, leaf_k,
-                                 k_pad, t_min, any_hit)
+                                 k_pad, t_min, any_hit, mixed=mixed)
+    # distinct kernel names so profiles attribute closest vs shadow passes
+    kernel.__name__ = ("stream_mixed_" + kind if mixed else
+                       f"stream_{'any' if any_hit else 'closest'}_{kind}")
 
     t, idx = pl.pallas_call(
         kernel,

@@ -186,7 +186,10 @@ def _make_kernel(block_fn, width, n_clusters, leaf_k, k_pad, t_min,
             tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
             tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
         hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear < t_best0)
-        tn = jnp.where(hit, tnear, _INF)
+        # clamp origin-inside entries to 0 so blocked any-hit lanes
+        # (t_best == 0) stop pulling their enclosing boxes into the
+        # schedule — see stream._slab6 for the full rationale
+        tn = jnp.where(hit, jnp.maximum(tnear, 0.0), _INF)
 
         # NOTE: no value-level dynamic_slice / argmin in the round body —
         # Mosaic lacks those lowerings; everything is mask+reduce instead

@@ -529,6 +529,13 @@ def _kernel_traverse_stream(bvh, o, d, t_max, kind: str, t_min=1e-4,
                                    t_min=t_min, any_hit=any_hit)
 
 
+#: Direction-octant bits in the traversal sort key (A/B knob, see
+#: _entry_morton_perms): None = position-only morton; "high" = rays
+#: grouped by octant FIRST, morton within; "low" = morton cell first,
+#: octant within.
+_SORT_OCTANT: str | None = None
+
+
 def _entry_morton_perms(o, d, t_max, bvh):
     """Stable permutation grouping rays by the 3D morton cell of their
     scene-ENTRY point (o + max(t_enter, 0) * d against the BVH root box),
@@ -537,7 +544,10 @@ def _entry_morton_perms(o, d, t_max, bvh):
     tight: entry-morton gives 2.4M rays/s on shuffled primaries and 1.9M
     on bounce wavefronts vs 0.14-0.17M unsorted (dev_stream_sweep.py).
     For bounce rays (origin inside the scene box) the key reduces to
-    morton(origin); for camera rays it spreads by first-hit region."""
+    morton(origin); for camera rays it spreads by first-hit region.
+
+    _SORT_OCTANT mixes the ray-direction octant into the key so tiles are
+    tight in direction space too (bounce wavefronts scatter)."""
     lo = bvh.bmin[0] - 1e-3
     hi = bvh.bmax[0] + 1e-3
     eps = 1e-20
@@ -547,6 +557,14 @@ def _entry_morton_perms(o, d, t_max, bvh):
     tn = jnp.max(jnp.minimum(t0, t1), axis=1)
     p = jnp.clip(o + jnp.maximum(tn, 0.0)[:, None] * d, lo[None], hi[None])
     key = bvh_mod.morton_codes(p, lo, hi).astype(jnp.int32)  # 30-bit
+    if _SORT_OCTANT is not None:
+        oct_ = ((d[:, 0] < 0).astype(jnp.int32)
+                | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+                | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+        if _SORT_OCTANT == "high":
+            key = (key >> 3) | (oct_ << 27)
+        else:  # low: sub-order morton cells by octant
+            key = ((key >> 3) << 3) | oct_
     key = jnp.where(t_max <= 0.0, jnp.int32(1 << 30), key)
     perm = jnp.argsort(key, stable=True)
     from .compact import invert_permutation
@@ -1029,3 +1047,141 @@ def any_hit(o, d, scene: DeviceScene, t_max, t_min=1e-4, chunk: int = 8192,
                            sort_rays=sort_rays)
     return bruteforce.any_hit(o, d, scene, t_max, t_min, chunk=chunk,
                               n_alive=n_alive)
+
+
+# ---------------------------------------------------------------------------
+# Joint closest+shadow pass (mixed streaming kernel)
+# ---------------------------------------------------------------------------
+
+def joint_eligible(scene: DeviceScene) -> bool:
+    """True when ONE streaming-kernel BVH carries the scene's dominant
+    geometry, so a bounce's closest-hit rays and the previous bounce's
+    NEE shadow rays can share a single mixed traversal pass
+    (stream.traverse_stream with per-lane any-hit flags). The pairs share
+    an origin (the hit point), so interleaving them shares each tile's
+    DMA stream + schedule. A BVH-less side pack of the other kind (e.g.
+    the hair ball's 768 scalp triangles) is folded in brute-force, same
+    as closest_hit_bvh."""
+    cone_stream = (_use_stream_kernel(scene.cone_bvh, "cone")
+                   and scene.tri_bvh is None)
+    tri_stream = (_use_stream_kernel(scene.tri_bvh, "tri")
+                  and scene.cone_bvh is None)
+    return cone_stream or tri_stream
+
+
+def joint_closest_any(o_c, d_c, tcap_c, o_a, d_a, tmax_a,
+                      scene: DeviceScene, t_min=1e-4):
+    """ONE mixed streaming pass: closest hit for rays (o_c, d_c, tcap_c)
+    AND any-hit occlusion for rays (o_a, d_a, tmax_a), interleaved so
+    lane pairs (same wavefront slot — shadow rays of bounce b-1 share
+    their origin with bounce b's continuation rays) ride in the same
+    128-ray tile. Returns (Hit for the closest set, blocked [R] bool).
+
+    Requires joint_eligible(scene). Same culling rules as the separate
+    passes — results identical (winner rows; t recomputed outside).
+    """
+    from .pallas import stream as pstream
+
+    kind = "cone" if scene.cone_bvh is not None else "tri"
+    bvh = scene.cone_bvh if kind == "cone" else scene.tri_bvh
+    sg = jax.lax.stop_gradient
+    r = o_c.shape[0]
+    tcap_c = jnp.broadcast_to(jnp.asarray(tcap_c, jnp.float32), (r,))
+    tmax_a = jnp.broadcast_to(jnp.asarray(tmax_a, jnp.float32), (r,))
+
+    # pair sort: the closest ray's entry-morton keys BOTH members (they
+    # share an origin); a pair is dead only when both rays are
+    tm_pair = jnp.maximum(tcap_c, tmax_a)
+    s_perm, s_inv = _entry_morton_perms(sg(o_c), sg(d_c), sg(tm_pair),
+                                        sg(bvh))
+    pack14 = jnp.concatenate([o_c, d_c, tcap_c[:, None],
+                              o_a, d_a, tmax_a[:, None]], axis=1)[s_perm]
+    o_cs, d_cs, tcap_s = pack14[:, 0:3], pack14[:, 3:6], pack14[:, 6]
+    o2 = jnp.stack([pack14[:, 0:3], pack14[:, 7:10]], axis=1).reshape(-1, 3)
+    d2 = jnp.stack([pack14[:, 3:6], pack14[:, 10:13]], axis=1).reshape(-1, 3)
+    tm2 = jnp.stack([pack14[:, 6], pack14[:, 13]], axis=1).reshape(-1)
+    is_any = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), r)
+
+    sbvh = sg(bvh)
+    if sbvh.prim_hbm is not None:
+        sb, cb, prim = sbvh.sboxes, sbvh.cboxes_sf, sbvh.prim_hbm
+    else:  # forced A/B without cached layouts
+        sb = pstream.pack_super_boxes(sbvh)
+        cb = pstream.pack_child_boxes(sbvh)
+        prim, _ = pstream.pack_prim_hbm(sbvh, kind)
+    _, row2, f2 = pstream.traverse_stream(
+        sg(o2), sg(d2), sb, cb, prim, sg(tm2), kind=kind,
+        fanout=sbvh.fanout, leaf_k=sbvh.leaf_size, t_min=t_min,
+        is_any=is_any)
+    row_c = jnp.maximum(row2.reshape(-1, 2)[:, 0], 0)
+    found = f2.reshape(-1, 2)[:, 0]
+    blocked = f2.reshape(-1, 2)[:, 1]
+
+    # differentiable winner-t recompute + Hit assembly in SORTED space
+    # (exactly closest_hit_bvh's tail), then one unsort
+    t_tri = jnp.full((r,), INF)
+    t_cone = jnp.full((r,), INF)
+    tri_row = jnp.zeros((r,), jnp.int32)
+    cone_row = jnp.zeros((r,), jnp.int32)
+    tri_rp = cone_rc = None
+    o_as, d_as = pack14[:, 7:10], pack14[:, 10:13]
+    tmax_as = pack14[:, 13]
+    if kind == "cone":
+        cone_row = row_c
+        cone_rc = take_cone_rows(scene.cones, cone_row, aos=bvh.aos_rows)
+        t_re = _recompute_t_cone(cone_rc, o_cs, d_cs, t_min, tcap_s)
+        t_cone = jnp.where(found, t_re, INF)
+        if scene.tris.count:  # BVH-less side pack, brute force both sets
+            if _want_pallas_small(r, int(scene.tris.count)):
+                from .pallas import intersect as pk
+                packed, _ = pk.pack_tris_cm(sg(scene.tris))
+                t_k, tri_row = pk.tri_closest(sg(o_cs), sg(d_cs), packed,
+                                              t_min)
+                tri_row = jnp.maximum(tri_row, 0)
+                found_t = t_k < tcap_s
+                tri_rp = take_tri_rows(scene.tris, tri_row)
+                t_re = _recompute_t_tri(tri_rp, o_cs, d_cs, t_min, tcap_s)
+                t_tri = jnp.where(found_t, t_re, INF)
+                t_ks, _ = pk.tri_closest(sg(o_as), sg(d_as), packed, t_min)
+                blocked |= t_ks < tmax_as
+            else:
+                tg, _, _, _ = isect.triangle_hit_grid(
+                    o_cs, d_cs, scene.tris, t_min, tcap_s[:, None])
+                tri_row = jnp.argmin(tg, axis=-1).astype(jnp.int32)
+                t_tri = jnp.take_along_axis(tg, tri_row[:, None],
+                                            axis=-1)[:, 0]
+                _, _, _, v_s = isect.triangle_hit_grid(
+                    o_as, d_as, scene.tris, t_min, tmax_as[:, None])
+                blocked |= jnp.any(v_s, axis=-1)
+    else:
+        tri_row = row_c
+        tri_rp = take_tri_rows(scene.tris, tri_row, aos=bvh.aos_rows)
+        t_re = _recompute_t_tri(tri_rp, o_cs, d_cs, t_min, tcap_s)
+        t_tri = jnp.where(found, t_re, INF)
+        if scene.cones.count:
+            if _want_pallas_small(r, int(scene.cones.count)):
+                from .pallas import intersect as pk
+                packed, _ = pk.pack_cones_cm(sg(scene.cones))
+                t_k, cone_row = pk.cone_closest(sg(o_cs), sg(d_cs), packed,
+                                                t_min)
+                cone_row = jnp.maximum(cone_row, 0)
+                found_c = t_k < tcap_s
+                cone_rc = take_cone_rows(scene.cones, cone_row)
+                t_re = _recompute_t_cone(cone_rc, o_cs, d_cs, t_min,
+                                         tcap_s)
+                t_cone = jnp.where(found_c, t_re, INF)
+                t_ks, _ = pk.cone_closest(sg(o_as), sg(d_as), packed,
+                                          t_min)
+                blocked |= t_ks < tmax_as
+            else:
+                cg, _, _ = isect.cone_hit_grid(o_cs, d_cs, scene.cones,
+                                               t_min, tcap_s[:, None])
+                cone_row = jnp.argmin(cg, axis=-1).astype(jnp.int32)
+                t_cone = jnp.take_along_axis(cg, cone_row[:, None],
+                                             axis=-1)[:, 0]
+                _, _, v_s = isect.cone_hit_grid(
+                    o_as, d_as, scene.cones, t_min, tmax_as[:, None])
+                blocked |= jnp.any(v_s, axis=-1)
+    hit = _assemble_hit(o_cs, d_cs, scene, t_tri, tri_row, t_cone,
+                        cone_row, tcap_s, tri_rp=tri_rp, cone_rc=cone_rc)
+    return _permute_hit(hit, s_inv), blocked[s_inv]

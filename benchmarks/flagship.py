@@ -75,7 +75,11 @@ def main() -> None:
     stats["time_to_first_ray_s"] = round(
         stats["scene_gen_s"] + stats["bvh_build_s"], 1)
 
-    cfg = RenderConfig(depth=4, spp=spp, ray_chunk=2048, compact=False)  # r4: kernel path, compaction is overhead
+    # r4: kernel path, compaction is overhead; r5: fused shade stage +
+    # joint closest/shadow traversal (auto via joint_shadows when the
+    # streaming BVH is attached) — matches bench.py's hair_ball config
+    cfg = RenderConfig(depth=4, spp=spp, ray_chunk=2048, compact=False,
+                       fused_shading=True)
     key = jax.random.key(0)
 
     # --- one differentiable step on the fur lobe parameters at full scale
@@ -106,6 +110,65 @@ def main() -> None:
                            for k, v in grads.items()}
     print(f"# grad step {stats['grad_step_s']}s loss={loss:.5f} "
           f"norms={stats['grad_norms']}", flush=True)
+
+    # --- grad-step panel (VERDICT r4 task 6): forward wall vs backward
+    # wall, train-step rays/s, peak HBM, and a remat on/off A/B. The
+    # backward wall is grad_step - forward (same XLA program minus the
+    # cotangent sweep); the A/B reruns value_and_grad WITHOUT per-bounce
+    # rematerialization, which trades the extra forward evaluation for
+    # storing every bounce's residuals (may OOM at full scale — recorded
+    # as the A/B outcome when it does).
+    def _best_of(fn, *a, reps=2):
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dev = jax.local_devices()[0]
+
+    def _peak_gb():
+        try:
+            return round(dev.memory_stats()["peak_bytes_in_use"] / 2**30, 2)
+        except Exception:
+            return None
+
+    fwd_fn = jax.jit(loss_fn)
+    fwd_fn(params, scene, jax.random.key(12)).block_until_ready()
+    fwd_s = _best_of(fwd_fn, params, scene, jax.random.key(12))
+    grad_rays = res * res * gcfg.depth  # one spp-1 sample
+    panel = {
+        "fwd_s": round(fwd_s, 3),
+        "grad_step_s": stats["grad_step_s"],
+        "bwd_s": round(stats["grad_step_s"] - fwd_s, 3),
+        "train_rays_per_s": round(grad_rays / stats["grad_step_s"], 1),
+        "peak_hbm_gb_remat": _peak_gb(),
+    }
+    gcfg_nr = gcfg._replace(remat=False)
+
+    def loss_nr(params, scene, key):
+        mats = scene.materials.replace(**params)
+        c = render_sample(scene.replace(materials=mats), camera, key, 0,
+                          gcfg_nr)
+        return jnp.mean(c)
+
+    try:
+        grad_nr = jax.jit(jax.value_and_grad(loss_nr))
+        l0, _ = grad_nr(params, scene, jax.random.key(12))
+        l0.block_until_ready()
+        nr_s = _best_of(grad_nr, params, scene, jax.random.key(12))
+        panel["grad_step_no_remat_s"] = round(nr_s, 2)
+        panel["peak_hbm_gb_no_remat"] = _peak_gb()
+        panel["remat_verdict"] = (
+            "remat faster" if stats["grad_step_s"] <= nr_s
+            else "no-remat faster")
+    except Exception as e:  # typically RESOURCE_EXHAUSTED at full scale
+        panel["grad_step_no_remat_s"] = None
+        panel["remat_verdict"] = f"no-remat failed: {type(e).__name__}"
+    stats["grad_panel"] = panel
+    print(f"# grad panel {json.dumps(panel)}", flush=True)
 
     # --- progressive 256-spp render with checkpointing
     r = res * res

@@ -87,3 +87,42 @@ def test_fused_single_bounce_exact():
                     f"bounce {bounce} mode {mode} field {f}: " \
                     f"{bad.mean():.4f} mismatched"
         st = ref
+
+
+def test_fused_joint_shadows_stream():
+    """Joint closest+shadow mixed streaming pass (cfg.joint_shadows) vs the
+    unfused reference image: same estimator, NEE resolved one fori_loop
+    iteration later, so only float-noise differences are allowed. Forces
+    the streaming kernel (interpret mode off-TPU) on a small hair ball —
+    cones carry the stream BVH, the scalp triangles stay BVH-less and are
+    folded in brute-force, exercising the side-pack branch."""
+    from ba_pathtracing_fur_tpu.ops import traverse
+
+    scene, cam = builtins.hair_ball(resolution=(12, 12), n_fibers=600,
+                                    fiber_verts=4)
+    # min_prims between the 1024 scalp tris (stay BVH-less, side-pack
+    # branch) and the ~1.8k fur cones (get the stream BVH)
+    scene = traverse.attach_bvh(scene, method="median", min_prims=1200,
+                                leaf_size=64, fanout=8)
+    traverse.enable_stream_traversal(True)
+    try:
+        assert traverse.joint_eligible(scene)
+        key = jax.random.key(0)
+        kw = dict(depth=3, spp=2, ray_chunk=256, compact=False)
+        a = np.asarray(pt.render_image(scene, cam, key,
+                                       pt.RenderConfig(**kw)))
+        b = np.asarray(pt.render_image(scene, cam, key, pt.RenderConfig(
+            **kw, fused_shading=True, joint_shadows=True)))
+        assert np.all(np.isfinite(b))
+        d = np.abs(a - b)
+        assert np.mean(d) < 5e-3, f"mean {np.mean(d)}"
+        assert np.mean(d.max(-1) > 1e-3) <= 0.02, \
+            f"flips {np.mean(d.max(-1) > 1e-3)}"
+        # and with compaction (pend lanes must survive the permutation)
+        c = np.asarray(pt.render_image(scene, cam, key, pt.RenderConfig(
+            **{**kw, "compact": True}, fused_shading=True,
+            joint_shadows=True)))
+        d2 = np.abs(b - c)
+        assert np.mean(d2) < 1e-5, f"compact drift {np.mean(d2)}"
+    finally:
+        traverse.enable_stream_traversal(None)
