@@ -79,6 +79,19 @@ def auto_leaf_size(n_prims: int, target: int = 256) -> int:
 TRI_LEAF_TARGET = 256
 CONE_LEAF_TARGET = 128
 
+#: Cone packs big enough for the DMA-streaming kernel want leaves ~2.5x
+#: BIGGER than the XLA-path target above: the r3 sweep priced a leaf by
+#: its gathered bytes, but the streaming kernel's block test is a
+#: vectorized [T, K_pad] pass whose K pads up to 128 lanes anyway (k=72
+#: meant 44% inert columns), and fewer children mean fewer schedule
+#: rounds + DMAs. r5 sweep on the 9.4M-cone hair ball (1024^2 bounce
+#: wavefronts, benchmarks/dev_leaf_sweep.py): k=72 1.78M rays/s, k=144
+#: 1.86M, k=288 2.08M, k=576 2.09M (saturates) -> 288.
+CONE_LEAF_TARGET_STREAM = 288
+#: Cone count from which the auto leaf target switches to the streaming
+#: value (well past any VMEM-resident capacity).
+_STREAM_LEAF_MIN = 1 << 20
+
 
 def auto_fanout(n_leaves: int, max_supers: int = 1024) -> int:
     """Fan-out (children per super-cluster) for the hierarchical traversal:
@@ -347,9 +360,12 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
                                         bvh_mod.pack_tris, TRI_LEAF_TARGET)
     if cones.count >= min_prims:
         hint = cone_split_hint or {}
+        cone_target = (CONE_LEAF_TARGET_STREAM
+                       if cones.count >= _STREAM_LEAF_MIN
+                       else CONE_LEAF_TARGET)
         out = (_attach_one_device(cones, isect.cone_aabbs,
                                   bvh_mod.reorder_cones, bvh_mod.pack_cones,
-                                  leaf_size, fanout, CONE_LEAF_TARGET,
+                                  leaf_size, fanout, cone_target,
                                   centroid_fn=isect.cone_centroids,
                                   host_centroids=hint.get("centroids"),
                                   fingerprint=hint.get("fingerprint"))
@@ -360,7 +376,7 @@ def attach_bvh(scene: DeviceScene, leaf_size: int | None = None,
             cones, cone_bvh = _host_build(cones, isect.cone_aabbs,
                                           bvh_mod.reorder_cones,
                                           bvh_mod.pack_cones,
-                                          CONE_LEAF_TARGET)
+                                          cone_target)
     tri_bvh = _cache_kernel_layouts(tri_bvh, "tri", tris)
     cone_bvh = _cache_kernel_layouts(cone_bvh, "cone", cones)
     return scene.replace(tris=tris, cones=cones, tri_bvh=tri_bvh,
@@ -666,7 +682,14 @@ def closest_hit_bvh(o, d, scene: DeviceScene, t_min=1e-4, t_max=INF,
 
     sort_rays (None = auto when the wavefront spans multiple chunks):
     traverse in direction-octant order — pure permutation, result rows are
-    scattered back, so the Hit is bit-identical either way."""
+    scattered back, so the Hit is bit-identical either way.
+
+    NOTE (r5 measured negative): reusing this pass's sort permutation for
+    the same bounce's NEE shadow pass (shadow origins = the hit points)
+    was built and benchmarked — the shadow pass lost more tile coherence
+    than the skipped argsort saved (+260 ms/sample-pair at hair-ball
+    scale, even with a cumsum dead-lane repartition), so each pass keeps
+    its own entry-morton sort."""
     from ..scene.types import ensure_device
     scene = ensure_device(scene)
     r = o.shape[0]

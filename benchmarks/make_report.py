@@ -72,6 +72,13 @@ def main() -> None:
             "bf16": f'{bf["bf16"].get("rays_per_s", 0)/1e6:.2f}M rays/s',
             "verdict": bf.get("verdict", "?").split(".")[0]})
 
+    jt = _load("AB_JOINT.json")
+    if jt and "separate" in jt and "joint" in jt:
+        rep.add_panel("joint closest+shadow pass A/B (r5)", {
+            "separate": f'{jt["separate"].get("rays_per_s", 0)/1e6:.2f}M rays/s',
+            "joint": f'{jt["joint"].get("rays_per_s", 0)/1e6:.2f}M rays/s',
+            "verdict": jt.get("verdict", "?").split(".")[0]})
+
     base = _load("CPU_BASELINE.json")
     if base:
         rep.add_panel("CPU baseline (measured, bench host)", {
