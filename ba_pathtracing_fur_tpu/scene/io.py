@@ -51,12 +51,15 @@ def _load_mesh_entry(entry: dict, directory: str) -> HostMesh:
     if ext in (".b3df", ".bin"):
         from .binmesh import load_binary_mesh
         return load_binary_mesh(real)
+    if ext == ".ply":
+        from .ply import load_ply
+        return load_ply(real)
     # The reference loads any Assimp format (SceneGraph.cpp:85-139); this
-    # build supports OBJ + its own binary format. Reject anything else
-    # loudly instead of misparsing it (e.g. Collada .dae is XML, not OBJ).
+    # build supports OBJ + PLY + its own binary format. Reject anything
+    # else loudly instead of misparsing it (e.g. Collada .dae is XML).
     raise ValueError(
-        f"unsupported mesh format {ext!r} ({real}): supported are .obj and "
-        f".b3df/.bin — convert Collada/FBX/etc. to OBJ first")
+        f"unsupported mesh format {ext!r} ({real}): supported are .obj, "
+        f".ply and .b3df/.bin — convert Collada/FBX/etc. to OBJ first")
 
 
 def _parse_light(entry: dict) -> LightDesc:

@@ -151,3 +151,95 @@ def test_cli_convert_and_render(cube_path, tmp_path, monkeypatch):
     rc = cli.main(["render", "-s", "cornell", "-r", "2", "-W", "16", "-H", "16",
                    "-d", "2", "-o", out_img, "--ray-chunk", "1024"])
     assert rc == 0 and os.path.exists(out_img)
+
+
+def _write_ascii_ply(path):
+    # unit quad as ONE 4-gon face (exercises fan triangulation) + vertex
+    # colors; no normals (exercises smooth-normal generation)
+    path.write_text("\n".join([
+        "ply", "format ascii 1.0", "comment test quad",
+        "element vertex 4",
+        "property float x", "property float y", "property float z",
+        "property uchar red", "property uchar green", "property uchar blue",
+        "element face 1",
+        "property list uchar int vertex_indices",
+        "end_header",
+        "0 0 0 255 0 0", "1 0 0 255 0 0", "1 1 0 255 0 0", "0 1 0 255 0 0",
+        "4 0 1 2 3", ""]))
+
+
+def test_ply_ascii_loader(tmp_path):
+    from ba_pathtracing_fur_tpu.scene import ply
+    p = tmp_path / "quad.ply"
+    _write_ascii_ply(p)
+    m = ply.load_ply(str(p))
+    assert m.vertices.shape == (4, 3)
+    assert m.faces.shape == (2, 3)  # 4-gon -> 2 tris (fan)
+    # generated smooth normals all +z for a planar quad
+    np.testing.assert_allclose(m.normals, [[0, 0, 1]] * 4, atol=1e-6)
+    # vertex colors -> diffuse
+    assert abs(m.material_defs[0]["diffuse"][0] - 1.0) < 1e-6
+    assert m.material_defs[0]["diffuse"][1] == 0.0
+    assert m.material_defs[0]["ior"] == 1.56  # createMeshFromAi default
+
+
+def test_ply_binary_roundtrip_matches_ascii(tmp_path):
+    import struct
+    from ba_pathtracing_fur_tpu.scene import ply
+    pa = tmp_path / "a.ply"
+    _write_ascii_ply(pa)
+    ref = ply.load_ply(str(pa))
+    # same quad, binary little-endian, with explicit normals + uvs
+    pb = tmp_path / "b.ply"
+    header = "\n".join([
+        "ply", "format binary_little_endian 1.0",
+        "element vertex 4",
+        "property float x", "property float y", "property float z",
+        "property float nx", "property float ny", "property float nz",
+        "property float u", "property float v",
+        "element face 1",
+        "property list uchar int vertex_indices",
+        "end_header", ""]).encode()
+    verts = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]
+    body = b""
+    for (x, y, z), (u, v) in zip(verts, [(0, 0), (1, 0), (1, 1), (0, 1)]):
+        body += struct.pack("<8f", x, y, z, 0, 0, 1, u, v)
+    body += struct.pack("<B4i", 4, 0, 1, 2, 3)
+    pb.write_bytes(header + body)
+    m = ply.load_ply(str(pb))
+    np.testing.assert_allclose(m.vertices, ref.vertices)
+    np.testing.assert_array_equal(m.faces, ref.faces)
+    np.testing.assert_allclose(m.normals, ref.normals, atol=1e-6)
+    assert m.uvs is not None and m.uvs.shape == (4, 2)
+
+
+def test_json_scene_with_ply_renders(tmp_path):
+    import jax
+    from ba_pathtracing_fur_tpu.models.pathtracer import (
+        RenderConfig, render_image)
+    p = tmp_path / "quad.ply"
+    _write_ascii_ply(p)
+    scene_json = {
+        "Mesh": [{"path": "quad.ply"}],
+        "Node": [
+            {"object": "mesh", "object_id": 0, "mesh_id": 0, "name": "quad"},
+            {"object": "light", "object_id": 1, "kind": "point",
+             "position": [0.5, 0.5, 1.5], "color": [8, 8, 8],
+             "radius": 0.1, "constant": 1.0},
+            {"object": "camera", "object_id": 2, "position": [0.5, 0.5, 2.0],
+             "look_at": [0.5, 0.5, 0.0], "up_vector": [0, 1, 0],
+             "resolution": [16, 16]},
+        ],
+        "Environment": {"color": [0.1, 0.1, 0.1]},
+    }
+    jp = tmp_path / "scene.json"
+    jp.write_text(json.dumps(scene_json))
+    g = scene_io.load_scene_json(str(jp))
+    scene, cam = graph.flatten(g)
+    assert scene.tris.count == 2  # the PLY quad, fan-triangulated
+    img = np.asarray(render_image(scene, cam, jax.random.key(0),
+                                  RenderConfig(depth=2, spp=2,
+                                               ray_chunk=256)))
+    assert np.all(np.isfinite(img))
+    # the lit quad must rise above the 0.1 environment color
+    assert img.max() > 0.3
