@@ -42,6 +42,13 @@ def _enable_persistent_compile_cache() -> None:
                          "ba_pathtracing_fur_tpu", "xla"))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
+        # Cache EVERY program, not just >=1s compiles (the default
+        # threshold): on remote/tunneled backends each compile is an HTTP
+        # round trip of 0.3-3 s regardless of program size, and a fresh
+        # process issues ~24 tiny camera/setup compiles — measured 11-85 s
+        # of scene_gen variance on the flagship, all of it below the
+        # default threshold and therefore never cached.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # cache is an optimization, never a hard dependency
         pass
 

@@ -246,7 +246,11 @@ def bench_fur(smoke, peak, n_fibers, res, spp, name):
     # hair ball: level-1 fused shade measured 1.59 -> 1.70M rays/s; fur
     # patch neutral (4.06M both ways, r5 A/B) — fused on for both (one
     # code path), tri_100k stays unfused (4.61 vs 4.01M, texture fetches
-    # plus pack overhead outweigh the fused gain there)
+    # plus pack overhead outweigh the fused gain there). The streaming
+    # leaf-target re-sweep (CONE_LEAF_TARGET_STREAM=288) then lifted the
+    # hair ball to 2.03M rays/s (benchmarks/dev_leaf_sweep.py); the joint
+    # closest+shadow pass and two sort/gather micro-fusions measured
+    # negative and are documented in out/AB_JOINT.json + traverse.py.
     cfg = RenderConfig(depth=depth, spp=spp, ray_chunk=chunk, compact=False,
                        fused_shading=True)
     key = jax.random.key(0)

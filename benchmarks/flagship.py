@@ -78,8 +78,8 @@ def main() -> None:
     # r4: kernel path, compaction is overhead; r5: fused shade stage +
     # joint closest/shadow traversal (auto via joint_shadows when the
     # streaming BVH is attached) — matches bench.py's hair_ball config
-    cfg = RenderConfig(depth=4, spp=spp, ray_chunk=2048, compact=False,
-                       fused_shading=True)
+    cfg = RenderConfig(depth=4, spp=spp, ray_chunk=1024, compact=False,
+                       fused_shading=True)  # chunk 1024: bench-measured best
     key = jax.random.key(0)
 
     # --- one differentiable step on the fur lobe parameters at full scale
