@@ -36,19 +36,30 @@ def _enable_persistent_compile_cache() -> None:
     try:
         import jax
 
+        # Separate pools per platform: XLA:CPU writes AOT executables whose
+        # target-machine flags depend on the writing process (a TPU-plugin
+        # process compiles CPU programs with +prefer-no-scatter/-gather),
+        # and loading a mismatched entry hard-aborts (observed r5: CPU
+        # test runs crashed in _cache_read on entries a TPU-tunnel process
+        # had written). JAX_PLATFORMS=cpu — how every CPU-forced run here
+        # is launched (tests/conftest.py, verify drives) — selects the
+        # cpu pool; TPU/tunnel processes keep the main pool.
+        plat = os.environ.get("JAX_PLATFORMS", "").strip()
+        sub = "xla-cpu" if plat == "cpu" else "xla"
         path = os.environ.get(
             "BAPT_COMPILE_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache",
-                         "ba_pathtracing_fur_tpu", "xla"))
+                         "ba_pathtracing_fur_tpu", sub))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # Cache EVERY program, not just >=1s compiles (the default
-        # threshold): on remote/tunneled backends each compile is an HTTP
-        # round trip of 0.3-3 s regardless of program size, and a fresh
-        # process issues ~24 tiny camera/setup compiles — measured 11-85 s
-        # of scene_gen variance on the flagship, all of it below the
-        # default threshold and therefore never cached.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # NOTE: jax_persistent_cache_min_compile_time_secs stays at its
+        # default. Setting it to 0 was tried (r5) to cache the tiny
+        # eager-dispatch programs a fresh process compiles — it worked,
+        # but XLA:CPU AOT entries written by the TPU-tunnel process carry
+        # different target-machine flags (+prefer-no-scatter/-gather) and
+        # SEGFAULT when a pure-CPU process loads them. The tiny-compile
+        # problem is fixed at the source instead (core/camera.make_camera
+        # computes on host numpy).
     except Exception:  # cache is an optimization, never a hard dependency
         pass
 

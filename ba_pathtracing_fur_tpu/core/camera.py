@@ -54,28 +54,39 @@ def make_camera(
     `look_at` is a *direction* (the reference transforms it with w=0 and
     negates it for axis_z).
     """
-    position = jnp.asarray(position, jnp.float32)
-    look_at = jnp.asarray(look_at, jnp.float32)
-    up = jnp.asarray(up, jnp.float32)
+    # Host-side numpy on purpose: camera setup is scalar work, and eager
+    # jnp here dispatched ~24 tiny one-op programs per fresh process —
+    # each a 0.3-3 s remote-compile round trip on tunneled backends
+    # (measured 11-85 s of flagship scene_gen variance). The derived
+    # arrays enter jit as ordinary f32 inputs; math is bit-identical.
+    import numpy as np
+
+    def _nrm(v):
+        return v / max(float(np.linalg.norm(v)), 1e-20)
+
+    position = np.asarray(position, np.float32)
+    look_at = np.asarray(look_at, np.float32)
+    up = np.asarray(up, np.float32)
     if transform is not None:
-        transform = jnp.asarray(transform, jnp.float32)
-        position = vm.homogeneous_transform_point(transform, position)
-        look_at = vm.homogeneous_transform_dir(transform, look_at)
-        up = vm.homogeneous_transform_dir(transform, up)
+        t = np.asarray(transform, np.float32)
+        position = (t @ np.append(position, 1.0))[:3].astype(np.float32)
+        look_at = (t @ np.append(look_at, 0.0))[:3].astype(np.float32)
+        up = (t @ np.append(up, 0.0))[:3].astype(np.float32)
 
     aperture = focal_length / f_stop
-    axis_z = vm.normalize(-look_at)
-    axis_x = vm.normalize(jnp.cross(up, axis_z))
-    axis_y = vm.normalize(jnp.cross(axis_z, axis_x))
+    axis_z = _nrm(-look_at).astype(np.float32)
+    axis_x = _nrm(np.cross(up, axis_z)).astype(np.float32)
+    axis_y = _nrm(np.cross(axis_z, axis_x)).astype(np.float32)
 
-    sensor = jnp.asarray(sensor_size, jnp.float32)
-    sensor_diameter = jnp.sqrt(sensor[0] ** 2 + sensor[1] ** 2)
-    fov = 2.0 * jnp.arctan(sensor_diameter / (2.0 * focal_length))
+    sensor = np.asarray(sensor_size, np.float32)
+    sensor_diameter = np.sqrt(sensor[0] ** 2 + sensor[1] ** 2)
+    fov = 2.0 * np.arctan(sensor_diameter / (2.0 * focal_length))
     aspect = resolution[0] / resolution[1]
-    sy = jnp.tan(0.5 * fov)
+    sy = np.tan(0.5 * fov)
     sx = sy * aspect
-    pixel_size = 2.0 * sx / resolution[0]
-    bottom_left = position - axis_z - sy * axis_y - sx * axis_x
+    pixel_size = np.float32(2.0 * sx / resolution[0])
+    bottom_left = (position - axis_z - sy * axis_y
+                   - sx * axis_x).astype(np.float32)
 
     return Camera(
         position=position,
